@@ -1,0 +1,13 @@
+"""True-integer inference engine.
+
+Converts calibrated fake-quant models (frozen QuantMeasure observers) into
+integer-executing models: BN folded into conv weights, per-channel symmetric
+int8 weights, activations quantized to the observers' uint8 grids at each conv
+input, s8 x s8 -> s32 MXU matmuls with fused dequant+bias+ReLU epilogues
+(BASELINE.json north star). Serving (continuous batching) lives in
+``quantized_tpu.engine.batching`` / ``server``.
+"""
+
+from quantized_tpu.engine.convert import convert_to_int
+from quantized_tpu.engine.int_layers import IntConv2d, IntLinear, Identity
+from quantized_tpu.engine.executor import IntExecutor

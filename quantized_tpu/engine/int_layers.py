@@ -1,0 +1,127 @@
+"""Integer-executing NNX layers (engine counterparts of QConv2d/QLinear).
+
+Each layer statically owns its input qparams (from the source model's frozen
+observers), per-channel int8 weights (BN already folded), and the fused
+epilogue (alpha, beta). Activations enter as f32, are quantized to the uint8
+grid on the fly (a cheap VPU op XLA fuses into the surrounding graph), run
+through the s8 MXU path, and exit dequantized f32 — so pooling / residual
+adds / ReLU in the surrounding model code run unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from quantized_tpu.ops.int8_conv import int8_conv_gemm, int8_conv_xla
+from quantized_tpu.ops.int8_matmul import int8_matmul, matmul_epilogue_params
+from quantized_tpu.ops.int4 import int4_matmul, pack_int4
+
+
+class Identity(nnx.Module):
+    """Replaces folded-away BN modules."""
+
+    def __call__(self, x):
+        return x
+
+
+def quantize_input_stored(x: jax.Array, scale: float, zero_point: int) -> jax.Array:
+    """f32 -> stored int8 (logical uint8 - 128) on the layer's activation grid."""
+    q = jnp.round(x * (1.0 / scale)) + jnp.float32(zero_point)
+    return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+class IntConv2d(nnx.Module):
+    """Integer conv with folded BN and fused dequant epilogue.
+
+    backend: 'xla' = lax int8 conv; 'gemm' = Pallas im2col GEMM.
+    """
+
+    def __init__(
+        self,
+        w_q: jax.Array,  # (Kh,Kw,Cin,Cout) int8
+        alpha: jax.Array,  # (Cout,) f32
+        beta: jax.Array,  # (Cout,) f32
+        act_scale: float,
+        act_zero_point: int,
+        stride=(1, 1),
+        padding=(0, 0),
+        groups: int = 1,
+        relu: bool = False,
+        backend: str = "xla",
+    ):
+        self.w_q = nnx.Param(w_q)
+        self.alpha = nnx.Param(alpha)
+        self.beta = nnx.Param(beta)
+        self.act_scale = float(act_scale)
+        self.act_zero_point = int(act_zero_point)
+        self.stride = stride
+        self.padding = padding
+        self.groups = groups
+        self.relu = relu
+        self.backend = backend
+
+    @property
+    def stored_zp(self) -> int:
+        return self.act_zero_point - 128
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_q = quantize_input_stored(x, self.act_scale, self.act_zero_point)
+        if self.backend == "gemm" and self.groups == 1:
+            return int8_conv_gemm(
+                x_q,
+                self.w_q.get_value(),
+                self.alpha.get_value(),
+                self.beta.get_value(),
+                self.stride,
+                self.padding,
+                self.stored_zp,
+                relu=self.relu,
+            )
+        return int8_conv_xla(
+            x_q,
+            self.w_q.get_value(),
+            self.alpha.get_value(),
+            self.beta.get_value(),
+            self.stride,
+            self.padding,
+            self.stored_zp,
+            relu=self.relu,
+            groups=self.groups,
+        )
+
+
+class IntLinear(nnx.Module):
+    """Integer dense layer; weights stored (K, N) = (in, out) int8 (or packed
+    int4 when ``int4=True``)."""
+
+    def __init__(
+        self,
+        w_q_kn: jax.Array,
+        alpha: jax.Array,
+        beta: jax.Array,
+        act_scale: float,
+        act_zero_point: int,
+        relu: bool = False,
+        int4: bool = False,
+    ):
+        self.w_q = nnx.Param(w_q_kn)
+        self.alpha = nnx.Param(alpha)
+        self.beta = nnx.Param(beta)
+        self.act_scale = float(act_scale)
+        self.act_zero_point = int(act_zero_point)
+        self.relu = relu
+        self.int4 = int4
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_q = quantize_input_stored(x, self.act_scale, self.act_zero_point)
+        if self.int4:
+            return int4_matmul(
+                x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=self.relu
+            )
+        return int8_matmul(
+            x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=self.relu
+        )

@@ -1,0 +1,174 @@
+"""Integer-engine tests: conversion correctness vs fake-quant semantics
+(SURVEY.md section 7 step 3 requantization check) and executor behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from quantized_tpu.engine import IntExecutor, convert_to_int
+from quantized_tpu.engine.int_layers import Identity, IntConv2d, IntLinear
+from quantized_tpu.models import get_model
+from quantized_tpu.models.layers import QConv2d, conv2d_nhwc
+
+
+def _calibrated(name, key=0, shape=(8, 32, 32, 3), **cfg):
+    model = get_model(name)(rngs=nnx.Rngs(0), **cfg)
+    model.train()
+    model(jax.random.normal(jax.random.PRNGKey(key), shape) * 1.5)
+    model.eval()
+    return model
+
+
+def test_single_conv_int_vs_fakequant_one_ulp(rng):
+    """A lone QConv2d + BN converted to int must match the float composition
+    of (observer fake-quant -> conv -> BN) within ~1 activation quant step."""
+    cin, cout = 8, 16
+    conv = QConv2d(cin, cout, 3, padding=1, use_bias=False, rngs=nnx.Rngs(0))
+    bn = nnx.BatchNorm(cout, momentum=0.9, rngs=nnx.Rngs(0))
+    # calibrate
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, cin))
+    conv.train() if hasattr(conv, "train") else None
+    conv.quantize_input.use_running_average = False
+    bn.use_running_average = False
+    _ = bn(conv(x))
+    conv.quantize_input.use_running_average = True
+    bn.use_running_average = True
+
+    # reference float path with *float* weights (per-channel engine upgrade
+    # replaces the reference's per-tensor weight grid; compare against float
+    # weights and budget the weight-quant error separately)
+    ref = bn(conv2d_nhwc(conv.quantize_input(x), conv.kernel.get_value(), 1, 1))
+
+    class Holder(nnx.Module):
+        def __init__(self):
+            self.conv1 = conv
+            self.bn1 = bn
+
+        def __call__(self, v):
+            return self.bn1(self.conv1(v))
+
+    h = Holder()
+    convert_to_int(h)
+    assert isinstance(h.conv1, IntConv2d) and isinstance(h.bn1, Identity)
+    got = h(x)
+    act_step = h.conv1.act_scale
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    # bound: input-quant is shared; weight-quant residual ~ |W|*eps_w; allow a
+    # few activation steps
+    assert err.max() < 5 * act_step, (err.max(), act_step)
+
+
+@pytest.mark.parametrize("name,cfg,shape", [
+    ("resnet_quantized_float_bn", dict(dataset="cifar10", depth=20), (8, 32, 32, 3)),
+    ("resnet_quantized", dict(dataset="cifar10", depth=20), (8, 32, 32, 3)),
+])
+def test_full_model_int_close_to_fakequant(name, cfg, shape):
+    model = _calibrated(name, shape=shape, **cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), shape)
+    ref_logits = np.asarray(model(x))
+
+    convert_to_int(model)
+    got_logits = np.asarray(model(x))
+
+    # logits drift (different weight grids + folded BN) but ranking must agree
+    ref_top1 = ref_logits.argmax(-1)
+    got_top1 = got_logits.argmax(-1)
+    agree = (ref_top1 == got_top1).mean()
+    rel = np.linalg.norm(got_logits - ref_logits) / (np.linalg.norm(ref_logits) + 1e-9)
+    assert agree >= 0.75, (agree, rel)
+    assert rel < 0.5, rel
+
+
+def test_int4_weight_only_mode():
+    model = _calibrated("resnet_quantized_float_bn", dataset="cifar10", depth=20)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 32, 32, 3))
+    ref_logits = np.asarray(model(x))
+    convert_to_int(model, weight_bits=4)
+    # fc is int4-packed
+    assert model.fc.int4 and model.fc.w_q.get_value().dtype == jnp.int8
+    got = np.asarray(model(x))
+    rel = np.linalg.norm(got - ref_logits) / (np.linalg.norm(ref_logits) + 1e-9)
+    assert rel < 1.0  # int4 is lossier; just sanity-bound it
+    assert np.isfinite(got).all()
+
+
+def test_executor_jit_and_results_stable():
+    model = _calibrated("resnet_quantized_float_bn", dataset="cifar10", depth=20)
+    convert_to_int(model)
+    ex = IntExecutor(model)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 32, 32, 3))
+    y1 = np.asarray(ex(x))
+    y2 = np.asarray(ex(x))
+    np.testing.assert_array_equal(y1, y2)
+    assert y1.shape == (4, 10)
+
+
+def test_gemm_backend_matches_xla_backend():
+    model_x = _calibrated("resnet_quantized_float_bn", dataset="cifar10", depth=20)
+    model_g = _calibrated("resnet_quantized_float_bn", dataset="cifar10", depth=20)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
+    convert_to_int(model_x, backend="xla")
+    convert_to_int(model_g, backend="gemm")
+    yx = np.asarray(model_x(x))
+    yg = np.asarray(model_g(x))
+    # int accumulators are exact in both backends; residual deltas come from
+    # f32 epilogue op ordering crossing a requant bin boundary at some layer
+    # (one activation step), so allow a small logit band.
+    np.testing.assert_allclose(yg, yx, rtol=1e-2, atol=2e-2)
+
+
+def test_mobilenet_grouped_conv_conversion():
+    # structural conversion + finite output. (A tight fake-quant-vs-int logit
+    # bound is not meaningful here: the reference's per-TENSOR weight grid and
+    # the engine's per-CHANNEL upgrade diverge strongly on random-init
+    # depthwise layers; real-accuracy parity is covered by the accuracy
+    # harness against the float twin.)
+    model = _calibrated("mobilenet_quantized", key=2, shape=(2, 224, 224, 3))
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 224, 224, 3))
+    convert_to_int(model)
+    assert isinstance(model.block0.dw, IntConv2d) and model.block0.dw.groups > 1
+    got = np.asarray(model(x))
+    assert np.isfinite(got).all()
+
+
+def test_grouped_conv_integer_contract_exact(rng):
+    """Depthwise int8 conv must equal float conv on the dequantized grids
+    (the zero-point/colsum correction must be group-correct)."""
+    from quantized_tpu.ops.int8_conv import int8_conv_xla
+    from quantized_tpu.ops.int8_matmul import matmul_epilogue_params
+
+    c = 16
+    s_a, zp = 0.03, 21
+    w = rng.standard_normal((3, 3, 1, c)).astype(np.float32) * 0.2
+    s_w = np.max(np.abs(w.reshape(-1, c)), axis=0) / 127.0
+    w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    colsum = w_q.astype(np.int32).reshape(-1, c).sum(0)
+    bias = rng.standard_normal(c).astype(np.float32) * 0.1
+
+    u = rng.integers(0, 256, (2, 8, 8, c))
+    x_q = (u - 128).astype(np.int8)
+    alpha, beta = matmul_epilogue_params(s_a, zp, jnp.asarray(s_w), jnp.asarray(colsum), jnp.asarray(bias))
+    got = np.asarray(
+        int8_conv_xla(jnp.asarray(x_q), jnp.asarray(w_q), alpha, beta, 1, 1, zp - 128, groups=c)
+    )
+    # float reference on dequantized values with zp padding semantics
+    x_hat = (u - zp).astype(np.float32) * s_a
+    w_hat = w_q.astype(np.float32) * s_w
+    from quantized_tpu.models.layers import conv2d_nhwc
+
+    want = np.asarray(conv2d_nhwc(jnp.asarray(x_hat), jnp.asarray(w_hat), 1, 1, groups=c)) + bias
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_alexnet_conversion_runs():
+    model = _calibrated("alexnet_quantized", key=3, shape=(2, 224, 224, 3))
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 224, 224, 3))
+    ref = np.asarray(model(x))
+    convert_to_int(model)
+    assert isinstance(model.fc1, IntLinear) and isinstance(model.bnf1, Identity)
+    got = np.asarray(model(x))
+    assert np.isfinite(got).all()
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree >= 0.5  # random init; just structural sanity

@@ -1,0 +1,217 @@
+"""CLI / experiment driver (reference ``main.py``, SURVEY.md #20).
+
+Flag surface mirrors the reference (--results_dir --save --dataset --model
+--model_config --input_size --type --workers -b --epochs --start-epoch
+--optimizer --lr --momentum --weight-decay --print-freq --resume
+--evaluate/-e) and adds the engine's new capabilities:
+--calibrate (run calibration batches through frozen models),
+--convert-int / --weight-bits / --backend (true-integer execution),
+--serve (continuous-batching server), --mesh-model-parallel (TP degree),
+--export-reference (write a torch-format .pth.tar).
+
+``--type`` maps the reference's tensor-type string (device+dtype selector,
+default torch.cuda.FloatTensor) onto JAX platforms/dtypes:
+``tpu.float`` (default), ``cpu.float``, ``tpu.bf16``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import logging
+import os
+import sys
+import time
+from datetime import datetime
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="quantized_tpu training/eval/serving driver")
+    # --- reference-parity flags (main.py ~L20-75) ---
+    p.add_argument("--results_dir", default="./results", help="results dir")
+    p.add_argument("--save", default="", help="saved folder name (default: timestamp)")
+    p.add_argument("--dataset", default="imagenet", help="dataset name or 'synthetic'")
+    p.add_argument("--model", default="alexnet", help="model factory name")
+    p.add_argument("--model_config", default="", help="dict literal with model config, e.g. \"{'depth': 18}\"")
+    p.add_argument("--input_size", type=int, default=None)
+    p.add_argument("--type", default="tpu.float", help="device.dtype selector (ref: torch.cuda.FloatTensor)")
+    p.add_argument("--gpus", default=None, help="accepted for reference-CLI parity; mesh flags control devices")
+    p.add_argument("-j", "--workers", type=int, default=0, help="data loading workers (numpy batching)")
+    p.add_argument("-b", "--batch-size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("--optimizer", default="SGD")
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--resume", default="", help="native checkpoint dir or reference .pth.tar")
+    p.add_argument("-e", "--evaluate", action="store_true")
+    # --- engine extensions ---
+    p.add_argument("--calibrate", type=int, default=0, metavar="N", help="run N calibration batches (observers update, no grads)")
+    p.add_argument("--convert-int", action="store_true", help="convert to true-integer execution before eval/serve")
+    p.add_argument("--weight-bits", type=int, default=8, choices=[4, 8])
+    p.add_argument("--backend", default="xla", choices=["xla", "gemm"], help="int conv backend")
+    p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
+    p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
+    p.add_argument("--mesh-model-parallel", type=int, default=None, help="TP degree over the model axis")
+    p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
+    p.add_argument("--seed", type=int, default=123)
+    return p
+
+
+def _apply_type(type_str: str):
+    import jax
+
+    if type_str.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    return "bfloat16" if type_str.endswith("bf16") else "float32"
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    dtype = _apply_type(args.type)
+
+    import jax
+    import numpy as np
+    from flax import nnx
+
+    from quantized_tpu.data import get_dataset, get_transform
+    from quantized_tpu.models import get_model
+    from quantized_tpu.training import Trainer
+    from quantized_tpu.utils import ResultsLog, save_checkpoint, setup_logging
+    from quantized_tpu.utils.checkpoint import export_reference_checkpoint, load_checkpoint
+    from quantized_tpu.engine.executor import enable_compilation_cache
+
+    enable_compilation_cache()
+    save_name = args.save or datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    save_path = os.path.join(args.results_dir, save_name)
+    os.makedirs(save_path, exist_ok=True)
+    setup_logging(os.path.join(save_path, "log.txt"))
+    logger = logging.getLogger("main")
+    logger.info("args: %s", vars(args))
+    logger.info("devices: %s", jax.devices())
+
+    model_config = {"dataset": args.dataset} if args.dataset != "synthetic" else {"dataset": "cifar10"}
+    if args.model_config:
+        model_config.update(ast.literal_eval(args.model_config))
+    if args.model in ("alexnet", "alexnet_quantized", "mnist", "mobilenet", "mobilenet_quantized"):
+        model_config.pop("dataset", None)
+    model = get_model(args.model)(rngs=nnx.Rngs(args.seed), **model_config)
+    logger.info("created model %s with config %s", args.model, model_config)
+
+    regime = getattr(model, "regime", None)
+    if args.lr != 0.1 or args.optimizer != "SGD":
+        regime = {
+            0: {
+                "optimizer": args.optimizer,
+                "lr": args.lr,
+                "momentum": args.momentum,
+                "weight_decay": args.weight_decay,
+            }
+        }
+
+    if args.resume:
+        if args.resume.endswith(".pth.tar") or args.resume.endswith(".pt"):
+            from quantized_tpu.ingest import load_into_model
+
+            load_into_model(model, args.resume)
+            logger.info("ingested reference checkpoint %s", args.resume)
+        else:
+            meta = load_checkpoint(model, args.resume)
+            args.start_epoch = int(meta.get("epoch", args.start_epoch))
+            logger.info("resumed %s at epoch %d", args.resume, args.start_epoch)
+
+    if args.export_reference:
+        export_reference_checkpoint(model, args.export_reference, {"model": args.model, "config": model_config})
+        logger.info("exported reference checkpoint to %s", args.export_reference)
+        return 0
+
+    transform_name = getattr(model, "input_transform", args.dataset)
+    if args.dataset in ("cifar10", "cifar100", "mnist", "synthetic"):
+        transform_name = "cifar10" if args.dataset == "synthetic" else args.dataset
+    val_tf = get_transform(transform_name, args.input_size, augment=False)
+    val_data = get_dataset(args.dataset, "val", val_tf)
+    if val_data.synthetic:
+        logger.warning("dataset %s not found locally -> synthetic stand-in", args.dataset)
+
+    mesh = None
+    if args.mesh_model_parallel:
+        from quantized_tpu.parallel import create_mesh
+
+        mesh = create_mesh(model_parallel=args.mesh_model_parallel)
+        logger.info("mesh: %s", dict(mesh.shape))
+
+    trainer = Trainer(model, regime=regime, mesh=mesh, print_freq=args.print_freq)
+
+    if args.calibrate:
+        model.train()
+        calib = nnx.jit(lambda m, v: m(v))
+        for i, (x, _) in enumerate(val_data.batches(args.batch_size)):
+            if i >= args.calibrate:
+                break
+            calib(model, jax.numpy.asarray(x))
+        model.eval()
+        logger.info("calibrated observers on %d batches", args.calibrate)
+
+    if args.convert_int:
+        from quantized_tpu.engine import convert_to_int
+
+        convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend)
+        logger.info("converted to int%d execution (backend=%s)", args.weight_bits, args.backend)
+
+    if args.serve:
+        from quantized_tpu.engine.server import serve
+
+        return serve(model, mesh=mesh, batch_sizes=(1, 8, 32, args.batch_size), max_steps=args.serve_steps)
+
+    if args.evaluate:
+        metrics = trainer.validate(val_data.batches(args.batch_size), 0)
+        logger.info("EVAL: loss %.4f top1 %.2f%% top5 %.2f%%", metrics["loss"], metrics["top1"], metrics["top5"])
+        print({"top1": metrics["top1"], "top5": metrics["top5"], "loss": metrics["loss"]})
+        return 0
+
+    # training loop (reference main(): epoch loop with checkpoint + ResultsLog)
+    train_tf = get_transform(transform_name, args.input_size, augment=True)
+    train_data = get_dataset(args.dataset, "train", train_tf)
+    results = ResultsLog(os.path.join(save_path, "results.csv"))
+    results.plot("epoch", ["train_loss", "val_loss"], title="loss")
+    results.plot("epoch", ["train_top1", "val_top1"], title="top-1", ylabel="%")
+    best_prec1 = 0.0
+    for epoch in range(args.start_epoch, args.epochs):
+        t = trainer.train_epoch(
+            train_data.batches(args.batch_size, shuffle=True, seed=epoch, drop_remainder=True), epoch
+        )
+        v = trainer.validate(val_data.batches(args.batch_size), epoch)
+        is_best = v["top1"] > best_prec1
+        best_prec1 = max(best_prec1, v["top1"])
+        save_checkpoint(
+            model,
+            save_path,
+            meta={
+                "epoch": epoch + 1,
+                "model": args.model,
+                "config": model_config,
+                "best_prec1": best_prec1,
+                "regime": {str(k): v2 for k, v2 in (regime or {}).items()},
+            },
+            is_best=is_best,
+        )
+        results.add(
+            epoch=epoch,
+            train_loss=t["loss"],
+            val_loss=v["loss"],
+            train_top1=t["top1"],
+            val_top1=v["top1"],
+            train_top5=t["top5"],
+            val_top5=v["top5"],
+        )
+        results.save()
+        logger.info(
+            "epoch %d: train top1 %.2f val top1 %.2f (best %.2f)", epoch, t["top1"], v["top1"], best_prec1
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

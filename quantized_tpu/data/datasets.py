@@ -1,0 +1,192 @@
+"""Dataset registry (reference ``data.py``, SURVEY.md #14).
+
+``get_dataset(name, split, transform)`` mirrors the reference's registry. The
+sandbox is offline (no torchvision download), so each dataset resolves in
+order: (1) local files under ``QTPU_DATA_DIR`` (CIFAR python pickles /
+MNIST idx / ImageFolder trees), (2) a deterministic synthetic stand-in of the
+right geometry — clearly flagged via ``.synthetic`` — so accuracy harnesses
+and serving tests run anywhere. ``synthetic`` is also a first-class name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DATA_DIR = os.environ.get("QTPU_DATA_DIR", os.path.expanduser("~/Datasets"))
+
+_GEOMETRY = {
+    "cifar10": (32, 32, 3, 10),
+    "cifar100": (32, 32, 3, 100),
+    "mnist": (28, 28, 1, 10),
+    "stl10": (96, 96, 3, 10),
+    "imagenet": (256, 256, 3, 1000),
+    "synthetic": (32, 32, 3, 10),
+}
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """In-memory dataset: uint8 images (N,H,W,C) + int labels (N,)."""
+
+    images: np.ndarray
+    labels: np.ndarray
+    transform: Optional[Callable] = None
+    synthetic: bool = False
+    name: str = "dataset"
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:
+        img = self.images[i]
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, int(self.labels[i])
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (images f32 NHWC, labels i32). The reference's DataLoader
+        worker processes become simple host-side numpy batching here — decode
+        cost is trivial next to TPU step time for these datasets."""
+        idx = np.arange(len(self))
+        if shuffle:
+            (rng or np.random.default_rng(seed)).shuffle(idx)
+        n = len(idx) - (len(idx) % batch_size if drop_remainder else 0)
+        for s in range(0, n, batch_size):
+            sel = idx[s : s + batch_size]
+            imgs = np.stack([self[i][0] for i in sel])
+            labels = self.labels[sel].astype(np.int32)
+            yield imgs, labels
+
+
+def _synthetic(name: str, split: str, transform) -> ArrayDataset:
+    h, w, c, classes = _GEOMETRY.get(name, _GEOMETRY["synthetic"])
+    n = 1024 if split == "train" else 512
+    # class-defining signatures must be identical across splits (seeded by
+    # dataset name only); sample noise is per-split
+    class_rng = np.random.default_rng(abs(hash(name)) % (2**31))
+    rng = np.random.default_rng(abs(hash((name, split))) % (2**31))
+    labels = rng.integers(0, classes, n)
+    # class-dependent means + per-class spatial gradient so accuracy > chance
+    # is genuinely learnable (verified: a depth-20 resnet generalizes on this)
+    base = class_rng.uniform(80, 176, (classes, 1, 1, c))
+    yy = np.linspace(-1, 1, h)[None, :, None, None]
+    xx = np.linspace(-1, 1, w)[None, None, :, None]
+    angle = 2 * np.pi * np.arange(classes) / classes
+    pattern = 24 * (np.cos(angle)[labels, None, None, None] * yy + np.sin(angle)[labels, None, None, None] * xx)
+    images = np.clip(
+        base[labels] + pattern + rng.normal(0, 16, (n, h, w, c)), 0, 255
+    ).astype(np.uint8)
+    return ArrayDataset(images, labels, transform, synthetic=True, name=f"{name}-synthetic")
+
+
+def _load_cifar(root: str, name: str, split: str, transform) -> Optional[ArrayDataset]:
+    sub = "cifar-10-batches-py" if name == "cifar10" else "cifar-100-python"
+    d = os.path.join(root, "CIFAR10" if name == "cifar10" else "CIFAR100", sub)
+    if not os.path.isdir(d):
+        d2 = os.path.join(root, sub)
+        if not os.path.isdir(d2):
+            return None
+        d = d2
+    try:
+        files: List[str]
+        if name == "cifar10":
+            files = [f"data_batch_{i}" for i in range(1, 6)] if split == "train" else ["test_batch"]
+            key = b"labels"
+        else:
+            files = ["train"] if split == "train" else ["test"]
+            key = b"fine_labels"
+        xs, ys = [], []
+        for f in files:
+            with open(os.path.join(d, f), "rb") as fh:
+                batch = pickle.load(fh, encoding="bytes")
+            xs.append(batch[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            ys.extend(batch[key])
+        return ArrayDataset(np.concatenate(xs), np.asarray(ys), transform, name=name)
+    except Exception:
+        return None
+
+
+def _load_mnist(root: str, split: str, transform) -> Optional[ArrayDataset]:
+    d = os.path.join(root, "MNIST", "raw")
+    prefix = "train" if split == "train" else "t10k"
+    imgs_p = os.path.join(d, f"{prefix}-images-idx3-ubyte")
+    labels_p = os.path.join(d, f"{prefix}-labels-idx1-ubyte")
+    if not (os.path.exists(imgs_p) and os.path.exists(labels_p)):
+        return None
+    with open(imgs_p, "rb") as f:
+        data = np.frombuffer(f.read(), np.uint8, offset=16)
+    with open(labels_p, "rb") as f:
+        labels = np.frombuffer(f.read(), np.uint8, offset=8)
+    return ArrayDataset(data.reshape(-1, 28, 28, 1), labels.astype(np.int64), transform, name="mnist")
+
+
+def _load_imagefolder(root: str, name: str, split: str, transform) -> Optional[ArrayDataset]:
+    d = os.path.join(root, "ImageNet" if name == "imagenet" else name, "train" if split == "train" else "val")
+    if not os.path.isdir(d):
+        return None
+    try:
+        from PIL import Image
+    except Exception:
+        return None
+    classes = sorted(e for e in os.listdir(d) if os.path.isdir(os.path.join(d, e)))
+    imgs, labels = [], []
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(d, cls)
+        for fn in sorted(os.listdir(cdir)):
+            if fn.lower().endswith((".jpeg", ".jpg", ".png")):
+                imgs.append(os.path.join(cdir, fn))
+                labels.append(ci)
+    if not imgs:
+        return None
+    return _LazyImageFolder(imgs, np.asarray(labels), transform, name=name)
+
+
+@dataclasses.dataclass
+class _LazyImageFolder(ArrayDataset):
+    def __getitem__(self, i):
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.images[i]).convert("RGB"))
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, int(self.labels[i])
+
+
+def get_dataset(
+    name: str,
+    split: str = "train",
+    transform: Optional[Callable] = None,
+    download: bool = False,  # reference-API parity; offline sandbox ignores it
+    allow_synthetic: bool = True,
+) -> ArrayDataset:
+    """Reference ``get_dataset(name, split, transform, ...)`` (data.py
+    ~L20-60)."""
+    name = name.lower()
+    loaders = {
+        "cifar10": lambda: _load_cifar(DATA_DIR, "cifar10", split, transform),
+        "cifar100": lambda: _load_cifar(DATA_DIR, "cifar100", split, transform),
+        "mnist": lambda: _load_mnist(DATA_DIR, split, transform),
+        "imagenet": lambda: _load_imagefolder(DATA_DIR, "imagenet", split, transform),
+        "stl10": lambda: None,
+        "synthetic": lambda: None,
+    }
+    if name not in loaders:
+        raise ValueError(f"unknown dataset {name!r}; available: {sorted(loaders)}")
+    ds = loaders[name]()
+    if ds is not None:
+        return ds
+    if not allow_synthetic:
+        raise FileNotFoundError(f"dataset {name!r} not found under {DATA_DIR}")
+    return _synthetic(name, split, transform)

@@ -171,7 +171,7 @@ def convert_to_int(
     """
     if weight_bits not in (4, 8):
         raise ValueError("weight_bits must be 4 or 8")
-    for _path, module in list(model.iter_modules()):
+    for _path, module in list(nnx.iter_modules(model)):
         for conv_name, bn_name in _PAIRS:
             target = getattr(module, conv_name, None)
             if target is None:

@@ -1,0 +1,105 @@
+"""CLI driver tests (reference main.py flag surface + engine extensions).
+Run in-process for speed (the module respects --type cpu.float)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from quantized_tpu.cli.main import build_parser, main
+
+
+def test_parser_reference_flags_present():
+    p = build_parser()
+    args = p.parse_args(
+        [
+            "--model", "resnet_quantized", "--dataset", "cifar10",
+            "--model_config", "{'depth': 20}", "-b", "32", "--epochs", "1",
+            "--lr", "0.05", "--weight-decay", "1e-4", "--print-freq", "5",
+            "-e", "--resume", "x.pth.tar", "--type", "cpu.float",
+        ]
+    )
+    assert args.model == "resnet_quantized" and args.batch_size == 32
+    assert args.evaluate and args.resume == "x.pth.tar"
+
+
+def test_cli_evaluate_synthetic(tmp_path, capsys):
+    rc = main(
+        [
+            "--type", "cpu.float",
+            "--model", "resnet_quantized_float_bn",
+            "--dataset", "synthetic",
+            "--model_config", "{'depth': 20}",
+            "-b", "64",
+            "--results_dir", str(tmp_path),
+            "--save", "evalrun",
+            "--calibrate", "2",
+            "-e",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top1" in out
+    assert os.path.exists(os.path.join(tmp_path, "evalrun", "log.txt"))
+
+
+def test_cli_train_one_epoch_and_resume(tmp_path, capsys):
+    common = [
+        "--type", "cpu.float",
+        "--model", "resnet_quantized_float_bn",
+        "--dataset", "synthetic",
+        "--model_config", "{'depth': 20}",
+        "-b", "64",
+        "--results_dir", str(tmp_path),
+        "--lr", "0.02",
+    ]
+    rc = main(common + ["--save", "trainrun", "--epochs", "1"])
+    assert rc == 0
+    run = os.path.join(tmp_path, "trainrun")
+    assert os.path.exists(os.path.join(run, "results.csv"))
+    assert any(f.startswith("checkpoint") for f in os.listdir(run))
+    # resume + evaluate with int conversion
+    rc = main(
+        common
+        + ["--save", "evalrun2", "--resume", run, "--calibrate", "1", "--convert-int", "-e"]
+    )
+    assert rc == 0
+
+
+def test_cli_export_reference(tmp_path):
+    out = os.path.join(tmp_path, "exported.pth.tar")
+    rc = main(
+        [
+            "--type", "cpu.float",
+            "--model", "resnet",
+            "--dataset", "synthetic",
+            "--model_config", "{'depth': 20}",
+            "--results_dir", str(tmp_path),
+            "--save", "exp",
+            "--export-reference", out,
+        ]
+    )
+    assert rc == 0 and os.path.exists(out)
+    import torch
+
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert "state_dict" in ckpt and any(k.endswith("conv1.weight") for k in ckpt["state_dict"])
+
+
+def test_cli_serve_smoke(tmp_path):
+    rc = main(
+        [
+            "--type", "cpu.float",
+            "--model", "resnet_quantized_float_bn",
+            "--dataset", "synthetic",
+            "--model_config", "{'depth': 20}",
+            "--results_dir", str(tmp_path),
+            "--save", "serverun",
+            "--calibrate", "1",
+            "--convert-int",
+            "-b", "8",
+            "--serve", "--serve-steps", "3",
+        ]
+    )
+    assert rc == 0

@@ -1,0 +1,130 @@
+"""Data registry, preprocessing, meters, results log, checkpoint tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from quantized_tpu.data import get_dataset, get_transform
+from quantized_tpu.utils import AverageMeter, ResultsLog, accuracy
+
+
+def test_dataset_registry_and_synthetic_fallback():
+    ds = get_dataset("cifar10", "val", get_transform("cifar10"))
+    assert len(ds) > 0
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32
+    assert 0 <= label < 10
+    with pytest.raises(ValueError, match="unknown dataset"):
+        get_dataset("nope")
+    with pytest.raises(FileNotFoundError):
+        get_dataset("imagenet", allow_synthetic=False)
+
+
+def test_synthetic_class_signatures_shared_across_splits():
+    tr = get_dataset("synthetic", "train")
+    va = get_dataset("synthetic", "val")
+    # per-class mean images must correlate strongly across splits
+    def class_means(ds):
+        return np.stack([
+            ds.images[ds.labels == c].mean(axis=0).ravel() for c in range(10)
+        ])
+    m_tr, m_va = class_means(tr), class_means(va)
+    for c in range(10):
+        r = np.corrcoef(m_tr[c], m_va[c])[0, 1]
+        assert r > 0.9, (c, r)
+
+
+def test_batches_shapes_and_determinism():
+    ds = get_dataset("synthetic", "val", get_transform("cifar10"))
+    b1 = list(ds.batches(64, shuffle=True, seed=1, drop_remainder=True))
+    b2 = list(ds.batches(64, shuffle=True, seed=1, drop_remainder=True))
+    assert all(x.shape == (64, 32, 32, 3) for x, _ in b1)
+    np.testing.assert_array_equal(b1[0][1], b2[0][1])
+
+
+def test_transform_eval_path_matches_torchvision_semantics():
+    # Resize(256 shorter side) -> CenterCrop(224) -> /255 -> normalize
+    from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    tf = get_transform("imagenet", augment=False)
+    img = np.random.default_rng(0).integers(0, 256, (300, 400, 3)).astype(np.uint8)
+    out = tf(img)
+    assert out.shape == (224, 224, 3)
+    # un-normalize a pixel and check it lies in [0,1]
+    back = out * IMAGENET_STD + IMAGENET_MEAN
+    assert back.min() >= -1e-5 and back.max() <= 1 + 1e-5
+
+
+def test_transform_train_augment_is_random_but_seeded():
+    tf = get_transform("cifar10", augment=True)
+    img = np.random.default_rng(0).integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    a = tf(img, np.random.default_rng(7))
+    b = tf(img, np.random.default_rng(7))
+    c = tf(img, np.random.default_rng(8))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_meters_and_accuracy():
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(2.0, 2)
+    assert m.avg == 1.5 and m.count == 4
+    logits = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    t1, t2 = accuracy(logits, np.asarray([1, 1]), topk=(1, 2))
+    assert t1 == 50.0 and t2 == 100.0
+
+
+def test_results_log_roundtrip(tmp_path):
+    rl = ResultsLog(os.path.join(tmp_path, "res.csv"))
+    rl.plot("epoch", ["loss"], title="loss")
+    rl.add(epoch=0, loss=1.0)
+    rl.add(epoch=1, loss=0.5)
+    rl.save("t")
+    assert os.path.exists(rl.path) and os.path.exists(rl.plot_path)
+    assert os.path.exists(rl.jsonl_path)
+    import pandas as pd
+
+    df = pd.read_csv(rl.path)
+    assert list(df["loss"]) == [1.0, 0.5]
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    import jax
+    from flax import nnx
+
+    from quantized_tpu.models import get_model
+    from quantized_tpu.utils import load_checkpoint, save_checkpoint
+
+    m = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(3))
+    save_checkpoint(m, str(tmp_path), meta={"epoch": 7, "best_prec1": 12.3}, is_best=True)
+    m2 = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(9))
+    meta = load_checkpoint(m2, str(tmp_path))
+    assert meta["epoch"] == 7
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    m.eval(), m2.eval()
+    np.testing.assert_allclose(np.asarray(m(x)), np.asarray(m2(x)), rtol=1e-6, atol=1e-6)
+    # best copy exists
+    assert any("model_best" in f for f in os.listdir(tmp_path))
+
+
+def test_reference_export_then_ingest_roundtrip(tmp_path):
+    import jax
+    from flax import nnx
+
+    from quantized_tpu.ingest import load_into_model
+    from quantized_tpu.models import get_model
+    from quantized_tpu.utils.checkpoint import export_reference_checkpoint
+
+    m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(3))
+    m.train()
+    m(jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3)))
+    m.eval()
+    p = os.path.join(tmp_path, "exp.pth.tar")
+    export_reference_checkpoint(m, p, {"epoch": 2})
+    m2 = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(8))
+    load_into_model(m2, p)
+    m2.eval()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    np.testing.assert_allclose(np.asarray(m(x)), np.asarray(m2(x)), rtol=1e-5, atol=1e-5)

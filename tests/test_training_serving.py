@@ -1,0 +1,160 @@
+"""Trainer (regime engine, QAT convergence) and serving (continuous batching)
+tests; shard_map collective kernels on the 8-device CPU mesh."""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from quantized_tpu.data import get_dataset, get_transform
+from quantized_tpu.models import get_model
+from quantized_tpu.training import Trainer
+from quantized_tpu.training.regime import regime_settings
+
+
+def test_regime_settings_cumulative_walk():
+    regime = {
+        0: {"optimizer": "SGD", "lr": 0.1, "momentum": 0.9, "weight_decay": 1e-4},
+        30: {"lr": 0.01},
+        60: {"lr": 1e-3, "weight_decay": 0},
+    }
+    s0 = regime_settings(regime, 0)
+    s45 = regime_settings(regime, 45)
+    s99 = regime_settings(regime, 99)
+    assert s0["lr"] == 0.1 and s45["lr"] == 0.01 and s99["lr"] == 1e-3
+    assert s45["momentum"] == 0.9  # carried forward
+    assert s99["weight_decay"] == 0
+    # callable regime
+    assert regime_settings(lambda e: {0: {"lr": e}}, 5)["lr"] == 5
+
+
+def test_qat_trains_and_generalizes():
+    train = get_dataset("synthetic", "train", get_transform("cifar10", augment=False))
+    val = get_dataset("synthetic", "val", get_transform("cifar10", augment=False))
+    model = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    tr = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.02, "momentum": 0.9}}, print_freq=10**6)
+    metrics = None
+    for epoch in range(3):
+        tr.train_epoch(train.batches(64, shuffle=True, seed=epoch, drop_remainder=True), epoch)
+        metrics = tr.validate(val.batches(64), epoch)
+    assert metrics["top1"] > 60.0, metrics
+
+
+def test_trainer_regime_epoch_switch_changes_lr():
+    model = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    tr = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.1}, 2: {"lr": 0.001}})
+    tr.adjust_for_epoch(0)
+    lr0 = float(tr._opt.opt_state.hyperparams["lr"])
+    tr.adjust_for_epoch(2)
+    lr2 = float(tr._opt.opt_state.hyperparams["lr"])
+    assert lr0 == pytest.approx(0.1) and lr2 == pytest.approx(0.001)
+
+
+def test_trainer_on_mesh_dp_tp():
+    from quantized_tpu.parallel import create_mesh
+
+    mesh = create_mesh()  # 8 CPU devices -> 2x4
+    train = get_dataset("synthetic", "train", get_transform("cifar10", augment=False))
+    model = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    tr = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.05, "momentum": 0.9}}, mesh=mesh, print_freq=10**6)
+    m0 = tr.train_epoch(list(train.batches(64, drop_remainder=True))[:4], 0)
+    m1 = tr.train_epoch(list(train.batches(64, drop_remainder=True))[:4], 1)
+    assert m1["loss"] < m0["loss"]
+
+
+# ---------------------------------------------------------------- serving
+
+
+def _linear_executor(weight):
+    def ex(batch):
+        flat = batch.reshape(batch.shape[0], -1)
+        return flat @ weight
+
+    return ex
+
+
+def test_continuous_batcher_correct_and_padded():
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4 * 4 * 3, 7)).astype(np.float32)
+    b = ContinuousBatcher(_linear_executor(w), (4, 4, 3), batch_sizes=(1, 4, 16), max_wait_ms=5)
+    b.start()
+    imgs = rng.standard_normal((23, 4, 4, 3)).astype(np.float32)
+    futs = [b.submit(im) for im in imgs]
+    outs = np.stack([f.result(timeout=30) for f in futs])
+    b.stop()
+    want = imgs.reshape(23, -1) @ w
+    np.testing.assert_allclose(outs, want, rtol=1e-5, atol=1e-5)
+    s = b.stats()
+    assert s["requests"] == 23
+    assert s["batches"] >= 2  # 23 requests cannot fit one 16-bucket
+    assert 0 < s["occupancy"] <= 1.0
+    assert s["latency_p50_ms"] > 0
+
+
+def test_batcher_rejects_bad_shape():
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    b = ContinuousBatcher(lambda x: x, (4, 4, 3))
+    with pytest.raises(ValueError, match="expected image shape"):
+        b.submit(np.zeros((5, 5, 3), np.float32))
+
+
+def test_serving_int_model_end_to_end():
+    from quantized_tpu.engine import convert_to_int
+    from quantized_tpu.engine.batching import ContinuousBatcher
+    from quantized_tpu.engine.executor import IntExecutor
+
+    model = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    model.train()
+    model(jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3)))
+    model.eval()
+    convert_to_int(model)
+    ex = IntExecutor(model)
+    batcher = ContinuousBatcher(lambda b: np.asarray(ex(jnp.asarray(b))), (32, 32, 3), batch_sizes=(1, 8)).start()
+    rng = np.random.default_rng(1)
+    imgs = rng.standard_normal((12, 32, 32, 3)).astype(np.float32)
+    futs = [batcher.submit(im) for im in imgs]
+    outs = np.stack([f.result(timeout=120) for f in futs])
+    batcher.stop()
+    direct = np.asarray(ex(jnp.asarray(imgs)))
+    np.testing.assert_allclose(outs, direct, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- collectives
+
+
+def test_tp_linear_shard_map():
+    from quantized_tpu.parallel import create_mesh
+    from quantized_tpu.parallel.collectives import tp_linear
+
+    mesh = create_mesh(model_parallel=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    got = np.asarray(tp_linear(mesh, x, w, bias))
+    np.testing.assert_allclose(got, np.asarray(x @ w.T + bias), rtol=1e-5, atol=1e-5)
+
+
+def test_tp_linear_reduce_scatter():
+    from quantized_tpu.parallel import create_mesh
+    from quantized_tpu.parallel.collectives import tp_linear_reduce_scatter
+
+    mesh = create_mesh(model_parallel=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    got = np.asarray(tp_linear_reduce_scatter(mesh, x, w))
+    np.testing.assert_allclose(got, np.asarray(x @ w.T), rtol=1e-4, atol=1e-4)
+
+
+def test_heartbeat_barrier_single_process():
+    from quantized_tpu.parallel.distributed import heartbeat_barrier
+
+    heartbeat_barrier(timeout_s=30)  # must not hang or abort

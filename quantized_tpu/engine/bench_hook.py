@@ -1,30 +1,33 @@
-"""bench.py hook: ResNet-50 int8 engine throughput vs fp32 twin."""
+"""bench.py hook: ResNet-50 int8 engine throughput vs fp32 twin.
+
+Uses the overhead-cancelling scan harness (utils/timing.py) — naive per-call
+wall timing over the axon tunnel measures dispatch, not the chip.
+"""
 
 from __future__ import annotations
 
-import time
-
-import jax
 import jax.numpy as jnp
 from flax import nnx
 
-
-def _median_time(fn, x, warmup, iters):
-    jax.block_until_ready(fn(x))
-    for _ in range(warmup):
-        jax.block_until_ready(fn(x))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+from quantized_tpu.utils.timing import per_iter_time
 
 
-def resnet50_int8_throughput(batch: int = 64, warmup: int = 3, iters: int = 10, backend: str = "xla"):
+def model_throughput(model, x) -> float:
+    """Images/sec of ``model(x)`` with jit-scan timing."""
+    graphdef, state = nnx.split(model)
+
+    def step(c, state, x):
+        m = nnx.merge(graphdef, state)
+        y = m(x + c * 1e-6)
+        return jnp.max(y) * 1e-9
+
+    dt = per_iter_time(step, state, x)
+    return x.shape[0] / dt
+
+
+def resnet50_int8_throughput(batch: int = 64, backend: str = "xla"):
     from __graft_entry__ import _calibrated_model
-    from quantized_tpu.engine import IntExecutor, convert_to_int
+    from quantized_tpu.engine import convert_to_int
     from quantized_tpu.engine.executor import enable_compilation_cache
     from quantized_tpu.models import get_model
 
@@ -33,13 +36,10 @@ def resnet50_int8_throughput(batch: int = 64, warmup: int = 3, iters: int = 10, 
 
     qmodel = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
     int_model = convert_to_int(qmodel, weight_bits=8, backend=backend)
-    int_exec = IntExecutor(int_model)
-    t_int = _median_time(int_exec, x, warmup, iters)
+    ips = model_throughput(int_model, x)
 
     fmodel = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
     fmodel.eval()
-    fexec = IntExecutor(fmodel)
-    t_f = _median_time(fexec, x, warmup, iters)
+    ips_f = model_throughput(fmodel, x)
 
-    ips = batch / t_int
-    return ips, (batch / t_int) / (batch / t_f), f"int8-engine-{backend}"
+    return ips, ips / ips_f, f"int8-engine-{backend}"

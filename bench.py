@@ -51,15 +51,18 @@ def main():
 
     x = jnp.ones((BATCH, 224, 224, 3), jnp.float32)
 
-    mode = "int8-engine-xla"
+    mode = "int8-resident"
     try:
+        from quantized_tpu.engine import build_int8_resident
+
         q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-        int_model = convert_to_int(q, weight_bits=8, backend="xla")
+        int_model = build_int8_resident(q)
         ips = _model_throughput(int_model, x)
     except Exception as e:  # pragma: no cover
-        print(f"int8 engine failed ({type(e).__name__}: {e}); fake-quant fallback", file=sys.stderr)
-        mode = "fake-quant"
-        int_model = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        print(f"resident engine failed ({type(e).__name__}: {e}); exact fallback", file=sys.stderr)
+        mode = "int8-engine-xla"
+        q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        int_model = convert_to_int(q, weight_bits=8, backend="xla")
         ips = _model_throughput(int_model, x)
 
     fmodel = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))

@@ -1,0 +1,85 @@
+"""Accuracy-delta harness (BASELINE.md): fp32 vs fake-quant vs true-int top-1.
+
+Trains the quantized ResNet-20/CIFAR flavor with the QAT Trainer on the
+dataset (synthetic stand-in when no local CIFAR exists — the *deltas* between
+execution modes are still meaningful because every mode shares the same
+weights/observers), then reports top-1 for:
+
+  fake-quant   frozen-observer eval (the reference's --evaluate semantics)
+  int8-exact   true-integer engine, f32 boundaries (bit-exact twin)
+  int8-resident  int8-resident engine (production path)
+  int4-w       int4 weight-only engine
+
+Usage: python bench/accuracy_delta.py [epochs] [batch]  (CPU-friendly)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from quantized_tpu.data import get_dataset, get_transform
+from quantized_tpu.engine import build_int8_resident, convert_to_int
+from quantized_tpu.models import get_model
+from quantized_tpu.training import Trainer
+
+EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+
+def top1(model, batches) -> float:
+    gd, st = nnx.split(model)
+    fwd = jax.jit(lambda s, v: nnx.merge(gd, s)(v))
+    hits = n = 0
+    for x, y in batches:
+        pred = np.asarray(jnp.argmax(fwd(st, jnp.asarray(x)), -1))
+        hits += int((pred == np.asarray(y)).sum())
+        n += len(y)
+    return 100.0 * hits / n
+
+
+def main():
+    tf_train = get_transform("cifar10", augment=True)
+    tf_val = get_transform("cifar10", augment=False)
+    train = get_dataset("cifar10", "train", tf_train)
+    val = get_dataset("cifar10", "val", tf_val)
+    tag = "synthetic" if train.synthetic else "cifar10"
+
+    model = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    trainer = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.1, "momentum": 0.9}})
+    for e in range(EPOCHS):
+        m = trainer.train_epoch(train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
+        print(f"epoch {e}: train top1 {m['top1']:.2f}", flush=True)
+    model.eval()
+
+    results = {}
+    results["fake-quant"] = top1(model, val.batches(BATCH))
+
+    f = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    # fp32 twin shares nothing here (would need its own training) — skip its
+    # absolute number and anchor deltas on fake-quant, the reference contract.
+
+    def fresh():
+        m2 = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+        graphdef, _ = nnx.split(m2)
+        _, state = nnx.split(model)
+        m2 = nnx.merge(graphdef, state)
+        m2.eval()
+        return m2
+
+    results["int8-exact"] = top1(convert_to_int(fresh(), weight_bits=8), val.batches(BATCH))
+    results["int8-resident"] = top1(build_int8_resident(fresh()), val.batches(BATCH))
+    results["int4-w"] = top1(convert_to_int(fresh(), weight_bits=4), val.batches(BATCH))
+
+    base = results["fake-quant"]
+    print(f"\ndataset={tag} val-top1 (delta vs fake-quant):")
+    for k, v in results.items():
+        print(f"  {k:>14}: {v:6.2f}%  ({v - base:+.2f} pt)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Whole-model ResNet-50 throughput by execution mode on the live TPU.
+
+Modes: fp32 twin (reference cost model), bf16 twin, fake-quant eval,
+int8 engine f32-boundary (exact), int8-resident. Usage:
+    python bench/model_modes.py [batch] [mode,mode,...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from __graft_entry__ import _calibrated_model
+from quantized_tpu.engine import build_int8_resident, convert_to_int
+from quantized_tpu.engine.bench_hook import model_throughput
+from quantized_tpu.models import get_model
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+MODES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+    "fp32", "bf16", "int8-exact", "int8-resident"]
+
+
+def build(mode):
+    if mode in ("fp32", "bf16"):
+        m = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
+        m.eval()
+        if mode == "bf16":
+            state = nnx.state(m)
+            nnx.update(m, jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, state))
+        return m
+    q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+    if mode == "fake-quant":
+        return q
+    if mode == "int8-exact":
+        return convert_to_int(q, weight_bits=8, backend="xla")
+    if mode == "int8-resident":
+        return build_int8_resident(q)
+    raise ValueError(mode)
+
+
+def main():
+    print(f"device={jax.devices()[0].device_kind} batch={B}", flush=True)
+    base = None
+    for mode in MODES:
+        x = jnp.ones((B, 224, 224, 3), jnp.bfloat16 if mode == "bf16" else jnp.float32)
+        try:
+            ips = model_throughput(build(mode), x)
+            if base is None:
+                base = ips
+            print(f"{mode:>14}: {ips:9.0f} img/s  ({B*1e6/ips:7.1f} us/img, {ips/base:5.2f}x vs {MODES[0]})", flush=True)
+        except Exception as e:
+            print(f"{mode:>14}: FAIL {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

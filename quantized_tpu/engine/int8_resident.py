@@ -1,0 +1,232 @@
+"""Int8-resident ResNet execution: activations stay int8 across the net.
+
+Motivation (bench/micro_int8.py, live v5e): the f32-boundary engine is HBM
+bandwidth-bound — a 1x1 conv that runs at 20 TOPS with f32 in/out hits
+48-114 TOPS with int8 boundaries. This module executes the whole ResNet with
+inter-layer tensors stored int8 (logical uint8 - 128), requantization fused
+into each conv epilogue, maxpool in the int8 domain (max commutes with the
+monotone affine map), and the residual add as one fused elementwise pass.
+
+Semantics vs. the reference fake-quant eval (SURVEY.md section 3.2): each
+activation tensor is quantized ONCE onto the frozen observer grid of its
+first consumer (the block's conv1), instead of every consumer quantizing the
+raw f32 tensor independently. Two deviations follow, both standard in
+production int8 engines and bounded by 1 quantization step:
+
+- a block's downsample path sees the input regridded conv1-grid -> its own
+  observer grid (double quantization) rather than quantizing raw f32;
+- the identity shortcut carries the conv1-quantized tensor, not raw f32.
+
+The exact-mode engine (convert_to_int, f32 boundaries) remains the bit-exact
+twin for parity tests; this mode trades <=1-ULP(int8) activation error for
+~4x less activation HBM traffic. Accuracy deltas are covered by the parity
+test in tests/test_int8_resident.py.
+
+Built from a *calibrated* fake-quant model (frozen QuantMeasure observers,
+the checkpoint artifacts of reference main.py --evaluate, SURVEY.md 3.4).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from quantized_tpu.engine.convert import _convert_conv, _convert_linear
+from quantized_tpu.engine.int_layers import (
+    IntConv2d,
+    IntLinear,
+    dequantize_stored,
+    quantize_input_stored,
+    requantize_stored,
+)
+from quantized_tpu.models import resnet_common
+from quantized_tpu.models.layers import QConv2d, QLinear
+
+Grid = Tuple[float, int]
+
+
+def _residual_requant(
+    acc_f32: jax.Array,
+    identity_f32: jax.Array,
+    out_grid: Optional[Grid],
+) -> jax.Array:
+    """relu(acc + identity), then requantize when the consumer wants int8.
+    One fused elementwise pass either way (XLA fuses the whole chain)."""
+    y = jnp.maximum(acc_f32 + identity_f32, 0.0)
+    if out_grid is None:
+        return y
+    return quantize_input_stored(y, *out_grid)
+
+
+class Int8Bottleneck(nnx.Module):
+    """1x1 -> 3x3 -> 1x1 with int8-resident plumbing. Input int8 on
+    ``conv1.grid``; output int8 on ``out_grid`` (or f32 when None)."""
+
+    def __init__(self, conv1: IntConv2d, conv2: IntConv2d, conv3: IntConv2d,
+                 downsample: Optional[IntConv2d], out_grid: Optional[Grid]):
+        self.conv1 = conv1
+        self.conv2 = conv2
+        self.conv3 = conv3
+        self.downsample = downsample
+        self.out_grid = out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
+        h = self.conv2.run_q(h, relu=True, out_requant=self.conv3.grid)
+        acc = self.conv3.run_q(h, relu=False)
+        if self.downsample is not None:
+            idq = self.downsample.run_q(
+                requantize_stored(x_q, self.conv1.grid, self.downsample.grid), relu=False
+            )
+        else:
+            idq = dequantize_stored(x_q, *self.conv1.grid)
+        return _residual_requant(acc, idq, self.out_grid)
+
+
+class Int8BasicBlock(nnx.Module):
+    """3x3 -> 3x3 variant (ResNet-18/34 and the CIFAR geometry)."""
+
+    def __init__(self, conv1: IntConv2d, conv2: IntConv2d,
+                 downsample: Optional[IntConv2d], out_grid: Optional[Grid]):
+        self.conv1 = conv1
+        self.conv2 = conv2
+        self.downsample = downsample
+        self.out_grid = out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
+        acc = self.conv2.run_q(h, relu=False)
+        if self.downsample is not None:
+            idq = self.downsample.run_q(
+                requantize_stored(x_q, self.conv1.grid, self.downsample.grid), relu=False
+            )
+        else:
+            idq = dequantize_stored(x_q, *self.conv1.grid)
+        return _residual_requant(acc, idq, self.out_grid)
+
+
+class _Int8Stage(nnx.Module):
+    def __init__(self, blocks: List[nnx.Module]):
+        for i, b in enumerate(blocks):
+            setattr(self, str(i), b)
+        self.num_blocks = len(blocks)
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        for i in range(self.num_blocks):
+            x_q = getattr(self, str(i))(x_q)
+        return x_q
+
+
+class Int8ResNet(nnx.Module):
+    """Int8-resident ResNet (both geometries). Built via
+    :func:`build_int8_resident`; forward takes f32 NHWC images and returns
+    f32 logits — everything between the stem quantize and the global avgpool
+    flows as stored int8."""
+
+    def __init__(self, stem: IntConv2d, stem_out_grid: Grid, stages: List[_Int8Stage],
+                 fc: IntLinear, imagenet_pool: bool):
+        self.stem = stem
+        self.stem_out_grid = stem_out_grid
+        for i, s in enumerate(stages):
+            setattr(self, f"layer{i + 1}", s)
+        self.num_stages = len(stages)
+        self.fc = fc
+        self.imagenet_pool = imagenet_pool
+        # final stage emits f32 (out_grid=None on its last block)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_q = quantize_input_stored(x, *self.stem.grid)
+        x_q = self.stem.run_q(x_q, relu=True, out_requant=self.stem_out_grid)
+        if self.imagenet_pool:
+            # max commutes with the monotone uint8 affine map: pool on int8.
+            # (nnx.max_pool inits with -inf, which doesn't exist in int8 —
+            # use reduce_window with the int8 identity directly.)
+            x_q = jax.lax.reduce_window(
+                x_q,
+                jnp.int8(-128),
+                jax.lax.max,
+                window_dimensions=(1, 3, 3, 1),
+                window_strides=(1, 2, 2, 1),
+                padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+        h = x_q
+        for i in range(self.num_stages):
+            h = getattr(self, f"layer{i + 1}")(h)
+        h = jnp.mean(h, axis=(1, 2))  # f32 from the last block
+        return self.fc(h)
+
+
+def _block_convs(block) -> Sequence[Tuple[str, str]]:
+    if hasattr(block, "conv3"):
+        return [("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")]
+    return [("conv1", "bn1"), ("conv2", "bn2")]
+
+
+def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
+                        backend: str = "xla") -> Int8ResNet:
+    """Convert a calibrated fake-quant ResNet (float-BN or RangeBN flavor,
+    either geometry) into an :class:`Int8ResNet`.
+
+    The source model is the same artifact ``convert_to_int`` consumes: frozen
+    observers + weights (e.g. ingested from a reference ``.pth.tar``)."""
+    is_imagenet = isinstance(model, resnet_common.ResNetImageNet) or hasattr(model, "layer4")
+    stage_names = [n for n in ("layer1", "layer2", "layer3", "layer4") if hasattr(model, n)]
+
+    def conv_of(m, conv_name, bn_name) -> IntConv2d:
+        conv = getattr(m, conv_name)
+        bn = getattr(m, bn_name, None)
+        if not isinstance(conv, QConv2d):
+            raise TypeError(f"{conv_name} is {type(conv).__name__}, expected QConv2d "
+                            "(build_int8_resident needs the quantized flavor)")
+        return _convert_conv(conv, bn, weight_bits, backend)
+
+    # walk blocks in execution order to wire each block's out_grid to the
+    # next consumer's conv1 observer grid
+    blocks_src = []
+    for sn in stage_names:
+        stage = getattr(model, sn)
+        blocks_src.extend(getattr(stage, str(i)) for i in range(stage.num_blocks))
+
+    int_blocks: List[nnx.Module] = []
+    for bi, blk in enumerate(blocks_src):
+        convs = [conv_of(blk, cn, bn) for cn, bn in _block_convs(blk)]
+        ds = None
+        if getattr(blk, "downsample", None) is not None:
+            ds = conv_of(blk.downsample, "conv", "bn")
+        if bi + 1 < len(blocks_src):
+            nxt = blocks_src[bi + 1]
+            out_grid = _grid_of_qconv(nxt.conv1)
+        else:
+            out_grid = None  # last block emits f32 for avgpool/fc
+        if len(convs) == 3:
+            int_blocks.append(Int8Bottleneck(convs[0], convs[1], convs[2], ds, out_grid))
+        else:
+            int_blocks.append(Int8BasicBlock(convs[0], convs[1], ds, out_grid))
+
+    # regroup into stages of the source sizes
+    stages: List[_Int8Stage] = []
+    idx = 0
+    for sn in stage_names:
+        n = getattr(model, sn).num_blocks
+        stages.append(_Int8Stage(int_blocks[idx: idx + n]))
+        idx += n
+
+    stem = conv_of(model, "conv1", "bn1")
+    stem_out_grid = _grid_of_qconv(blocks_src[0].conv1)
+    if not isinstance(model.fc, QLinear):
+        raise TypeError("model.fc must be QLinear")
+    fc = _convert_linear(model.fc, None, weight_bits, int4_pack=False)
+    return Int8ResNet(stem, stem_out_grid, stages, fc, imagenet_pool=is_imagenet)
+
+
+def _grid_of_qconv(qconv: QConv2d) -> Grid:
+    obs = qconv.quantize_input
+    from quantized_tpu.ingest.calibrate import activation_qparams_from_observer
+
+    qp = activation_qparams_from_observer(
+        float(obs.running_min.get_value()[0]), float(obs.running_max.get_value()[0])
+    )
+    return (qp.scale, qp.zero_point)

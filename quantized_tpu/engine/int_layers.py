@@ -34,6 +34,20 @@ def quantize_input_stored(x: jax.Array, scale: float, zero_point: int) -> jax.Ar
     return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
 
 
+def dequantize_stored(x_q: jax.Array, scale: float, zero_point: int) -> jax.Array:
+    """Stored int8 -> f32: ``(u - zp) * scale`` with ``u = stored + 128``."""
+    return (x_q.astype(jnp.float32) + jnp.float32(128 - zero_point)) * jnp.float32(scale)
+
+
+def requantize_stored(
+    x_q: jax.Array, from_grid: Tuple[float, int], to_grid: Tuple[float, int]
+) -> jax.Array:
+    """Regrid a stored-int8 tensor onto another uint8 grid (one fused
+    elementwise pass; used when two consumers observe the same tensor with
+    different frozen ranges, e.g. a block's conv1 vs its downsample)."""
+    return quantize_input_stored(dequantize_stored(x_q, *from_grid), *to_grid)
+
+
 class IntConv2d(nnx.Module):
     """Integer conv with folded BN and fused dequant epilogue.
 
@@ -68,8 +82,26 @@ class IntConv2d(nnx.Module):
     def stored_zp(self) -> int:
         return self.act_zero_point - 128
 
+    @property
+    def grid(self) -> Tuple[float, int]:
+        """(scale, zero_point) of the uint8 grid this conv expects its input
+        on — the frozen observer range of the source QConv2d."""
+        return (self.act_scale, self.act_zero_point)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         x_q = quantize_input_stored(x, self.act_scale, self.act_zero_point)
+        return self.run_q(x_q, relu=self.relu)
+
+    def run_q(
+        self,
+        x_q: jax.Array,
+        relu: Optional[bool] = None,
+        out_requant: Optional[Tuple[float, int]] = None,
+    ) -> jax.Array:
+        """Quantized-input entry (int8-resident mode): ``x_q`` must already be
+        stored int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s
+        grid with relu folded before the requant."""
+        relu = self.relu if relu is None else relu
         if self.backend == "gemm" and self.groups == 1:
             return int8_conv_gemm(
                 x_q,
@@ -79,7 +111,8 @@ class IntConv2d(nnx.Module):
                 self.stride,
                 self.padding,
                 self.stored_zp,
-                relu=self.relu,
+                relu=relu,
+                out_requant=out_requant,
             )
         return int8_conv_xla(
             x_q,
@@ -89,8 +122,9 @@ class IntConv2d(nnx.Module):
             self.stride,
             self.padding,
             self.stored_zp,
-            relu=self.relu,
+            relu=relu,
             groups=self.groups,
+            out_requant=out_requant,
         )
 
 

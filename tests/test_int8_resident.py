@@ -1,0 +1,108 @@
+"""Int8-resident engine (engine/int8_resident.py): primitive exactness +
+whole-net parity against the bit-exact f32-boundary engine after real
+calibration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from quantized_tpu.engine import build_int8_resident, convert_to_int
+from quantized_tpu.engine.int_layers import (
+    dequantize_stored,
+    quantize_input_stored,
+    requantize_stored,
+)
+from quantized_tpu.models import get_model
+
+
+def _np_quant_stored(x, scale, zp):
+    q = np.round(x / scale) + zp
+    return (np.clip(q, 0, 255) - 128).astype(np.int8)
+
+
+def test_requantize_stored_matches_numpy(rng):
+    x = rng.standard_normal((64, 32)).astype(np.float32)
+    g1 = (0.03, 120)
+    g2 = (0.05, 140)
+    x8 = quantize_input_stored(jnp.asarray(x), *g1)
+    got = requantize_stored(x8, g1, g2)
+    deq = (np.asarray(x8).astype(np.float32) + (128 - g1[1])) * g1[0]
+    want = _np_quant_stored(deq, *g2)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_dequantize_roundtrip(rng):
+    x = rng.uniform(-3, 3, (128,)).astype(np.float32)
+    g = (6.0 / 255.0, 128)
+    x8 = quantize_input_stored(jnp.asarray(x), *g)
+    back = dequantize_stored(x8, *g)
+    # quantization error bounded by half a step
+    assert float(jnp.max(jnp.abs(back - x))) <= g[0] / 2 + 1e-6
+
+
+def test_int8_maxpool_commutes(rng):
+    """max-pooling stored int8 == quantizing the f32 max-pool (monotone map)."""
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    g = (0.04, 128)
+    x8 = quantize_input_stored(jnp.asarray(x), *g)
+    pooled_q = jax.lax.reduce_window(
+        x8, jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    # quantize-then-pool == pool-then-quantize only when padding cannot win
+    # the max; stored zp-128 > -128 guards that, and interior pixels dominate
+    deq_pool = nnx.max_pool(
+        dequantize_stored(x8, *g), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pooled_q), np.asarray(quantize_input_stored(deq_pool, *g))
+    )
+
+
+@pytest.mark.parametrize("depth,dataset,shape", [(20, "cifar10", (8, 32, 32, 3))])
+def test_resident_parity_after_calibration(rng, depth, dataset, shape):
+    """Calibrate observers on real data stats, then compare the resident
+    engine against the bit-exact f32-boundary engine: same top-1 on most
+    samples and bounded logit deviation (<= a few quant steps)."""
+
+    def calibrated():
+        m = get_model("resnet_quantized_float_bn")(dataset=dataset, depth=depth, rngs=nnx.Rngs(0))
+        m.train()
+        calib = nnx.jit(lambda mm, v: mm(v))
+        for i in range(3):
+            xb = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            calib(m, xb)
+        m.eval()
+        return m
+
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    resident = build_int8_resident(calibrated())
+    gd, st = nnx.split(resident)
+    y_res = jax.jit(lambda s, v: nnx.merge(gd, s)(v))(st, x)
+
+    exact = convert_to_int(calibrated(), weight_bits=8, backend="xla")
+    gd2, st2 = nnx.split(exact)
+    y_exact = jax.jit(lambda s, v: nnx.merge(gd2, s)(v))(st2, x)
+
+    agree = float(jnp.mean((jnp.argmax(y_res, -1) == jnp.argmax(y_exact, -1)).astype(jnp.float32)))
+    maxdiff = float(jnp.max(jnp.abs(y_res - y_exact)))
+    assert agree >= 0.75, f"top-1 agreement {agree}"
+    assert maxdiff < 1.0, f"logit deviation {maxdiff}"
+
+
+def test_resident_imagenet_geometry_builds(rng):
+    """ResNet-18 ImageNet geometry (BasicBlock + maxpool path) builds and runs."""
+    m = get_model("resnet_quantized_float_bn")(dataset="imagenet", depth=18, rngs=nnx.Rngs(0))
+    m.train()
+    calib = nnx.jit(lambda mm, v: mm(v))
+    calib(m, jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32))
+    m.eval()
+    resident = build_int8_resident(m)
+    gd, st = nnx.split(resident)
+    y = jax.jit(lambda s, v: nnx.merge(gd, s)(v))(st, jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32))
+    assert y.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(y)))

@@ -55,19 +55,51 @@ class ArrayDataset:
         seed: int = 0,
         drop_remainder: bool = False,
         rng: Optional[np.random.Generator] = None,
+        native: Optional[bool] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (images f32 NHWC, labels i32). The reference's DataLoader
-        worker processes become simple host-side numpy batching here — decode
-        cost is trivial next to TPU step time for these datasets."""
+        """Yields (images f32 NHWC, labels i32).
+
+        ``native`` routes preprocessing through the C++ thread-pool pipeline
+        (native/dataload.cpp — the framework's counterpart of the reference's
+        native DataLoader workers, SURVEY.md 3.1). ``None`` auto-enables it
+        when the library builds and the transform is supported; the numpy
+        ``Transform`` path remains the PIL-parity route."""
         idx = np.arange(len(self))
         if shuffle:
             (rng or np.random.default_rng(seed)).shuffle(idx)
         n = len(idx) - (len(idx) % batch_size if drop_remainder else 0)
+        pipe = self._native_pipeline(seed) if native in (None, True) else None
+        if native is True and pipe is None:
+            raise RuntimeError("native pipeline requested but unavailable")
         for s in range(0, n, batch_size):
             sel = idx[s : s + batch_size]
-            imgs = np.stack([self[i][0] for i in sel])
+            if pipe is not None:
+                imgs = pipe(np.ascontiguousarray(self.images[sel]))
+            else:
+                imgs = np.stack([self[i][0] for i in sel])
             labels = self.labels[sel].astype(np.int32)
             yield imgs, labels
+
+    def _native_pipeline(self, seed: int):
+        """Build (and cache) a NativePipeline for this transform, or None."""
+        tf = self.transform
+        if tf is None or getattr(tf, "inception", False) or getattr(tf, "lighting_std", 0.0):
+            return None
+        if not isinstance(self.images, np.ndarray) or self.images.dtype != np.uint8:
+            return None
+        key = (id(tf), seed)
+        if getattr(self, "_pipe_key", None) == key:
+            return self._pipe
+        try:
+            from quantized_tpu.data.native import NativePipeline, available
+
+            if not available():
+                return None
+            self._pipe = NativePipeline(tf, seed=seed)
+            self._pipe_key = key
+            return self._pipe
+        except Exception:
+            return None
 
 
 def _synthetic(name: str, split: str, transform) -> ArrayDataset:

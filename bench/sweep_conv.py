@@ -77,6 +77,13 @@ def int8_step(pad, stride, mode, c, x, w_q, alpha, beta):
     return jnp.float32(jnp.max(y)) * 1e-9
 
 
+def i8io_step(pad, stride, c, x_q, w_q, alpha, beta):
+    """int8-resident cost model: int8 in, requant epilogue, int8 out."""
+    xq = (x_q + c.astype(jnp.int8)).astype(jnp.int8)
+    y = int8_conv_xla(xq, w_q, alpha, beta, stride, pad, 0, relu=True, out_requant=(0.05, 128))
+    return jnp.float32(jnp.max(y)) * 1e-9
+
+
 def main():
     print(f"device={jax.devices()[0].device_kind} batch={B} modes={MODES}", flush=True)
     rng = np.random.default_rng(0)
@@ -92,11 +99,14 @@ def main():
         alpha = jnp.full((cout,), 1e-4, jnp.float32)
         beta = jnp.zeros((cout,), jnp.float32)
 
+        x_q8 = jnp.asarray(rng.integers(-128, 128, (B, h, h, cin)), jnp.int8)
         cells = []
         for mode in MODES:
             try:
                 if mode == "bf16":
                     dt = per_iter_time(functools.partial(bf16_step, pad, s), x, w)
+                elif mode == "i8io":
+                    dt = per_iter_time(functools.partial(i8io_step, pad, s), x_q8, w_q, alpha, beta)
                 else:
                     dt = per_iter_time(functools.partial(int8_step, pad, s, mode), x, w_q, alpha, beta)
                 tops = gops / dt / 1e3

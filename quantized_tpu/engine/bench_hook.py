@@ -18,8 +18,8 @@ def model_throughput(model, x) -> float:
 
     def step(c, state, x):
         m = nnx.merge(graphdef, state)
-        y = m(x + c * 1e-6)
-        return jnp.max(y) * 1e-9
+        y = m(x + (c * 1e-6).astype(x.dtype))  # keep the input dtype (bf16 twins)
+        return jnp.max(y).astype(jnp.float32) * 1e-9
 
     dt = per_iter_time(step, state, x)
     return x.shape[0] / dt

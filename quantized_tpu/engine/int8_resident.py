@@ -120,6 +120,58 @@ class _Int8Stage(nnx.Module):
         return x_q
 
 
+class Int8SpaceToDepthStem(nnx.Module):
+    """7x7/s2/p3 ImageNet stem rewritten as space-to-depth + 4x4/s1 conv.
+
+    The 7x7 stride-2 conv on Cin=3 wastes the MXU (K = 147, and XLA pads the
+    3-channel input); re-indexing the padded input into 2x2 blocks
+    ((B,230,230,3) -> (B,115,115,12)) turns it into a dense 4x4 stride-1 conv
+    with K = 192 — the standard MLPerf ResNet trick, done here entirely in
+    the int8 domain. Exact: the remapped kernel contains the same taps
+    (zeros elsewhere), padding uses the stored zero-point so padded taps
+    contribute exactly 0, and the epilogue (alpha/beta incl. colsum
+    correction) is unchanged because the tap sum is permutation-invariant.
+    """
+
+    def __init__(self, stem: IntConv2d):
+        kh, kw, cin, cout = stem.w_q.get_value().shape
+        assert (kh, kw) == (7, 7) and stem.stride == (2, 2) and stem.padding == (3, 3), (
+            "space-to-depth stem expects the reference 7x7/s2/p3 geometry"
+        )
+        w = jnp.zeros((4, 4, 4 * cin, cout), jnp.int8)
+        w_src = stem.w_q.get_value()
+        for kr in range(7):
+            for kc in range(7):
+                block = (kr % 2) * 2 + (kc % 2)
+                w = w.at[kr // 2, kc // 2, block * cin:(block + 1) * cin, :].set(
+                    w_src[kr, kc]
+                )
+        self.w_q = nnx.Param(w)
+        self.alpha = stem.alpha
+        self.beta = stem.beta
+        self.act_scale = stem.act_scale
+        self.act_zero_point = stem.act_zero_point
+        self.cin = cin
+
+    @property
+    def grid(self) -> Grid:
+        return (self.act_scale, self.act_zero_point)
+
+    def run_q(self, x_q: jax.Array, relu: bool, out_requant: Grid) -> jax.Array:
+        from quantized_tpu.ops.int8_conv import int8_conv_xla, pad_stored_zp
+
+        n = x_q.shape[0]
+        xp = pad_stored_zp(x_q, (3, 3), self.act_zero_point - 128)  # (B,230,230,C)
+        h2, w2 = xp.shape[1] // 2, xp.shape[2] // 2
+        xs = xp.reshape(n, h2, 2, w2, 2, self.cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4 * self.cin)
+        return int8_conv_xla(
+            xs, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(),
+            stride=(1, 1), padding=(0, 0), stored_zp=self.act_zero_point - 128,
+            relu=relu, out_requant=out_requant,
+        )
+
+
 class Int8ResNet(nnx.Module):
     """Int8-resident ResNet (both geometries). Built via
     :func:`build_int8_resident`; forward takes f32 NHWC images and returns
@@ -166,12 +218,15 @@ def _block_convs(block) -> Sequence[Tuple[str, str]]:
 
 
 def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
-                        backend: str = "xla") -> Int8ResNet:
+                        backend: str = "xla",
+                        space_to_depth: bool = True) -> Int8ResNet:
     """Convert a calibrated fake-quant ResNet (float-BN or RangeBN flavor,
     either geometry) into an :class:`Int8ResNet`.
 
     The source model is the same artifact ``convert_to_int`` consumes: frozen
-    observers + weights (e.g. ingested from a reference ``.pth.tar``)."""
+    observers + weights (e.g. ingested from a reference ``.pth.tar``).
+    ``space_to_depth`` rewrites a 7x7/s2 ImageNet stem as
+    :class:`Int8SpaceToDepthStem` (exact, faster on the MXU)."""
     is_imagenet = isinstance(model, resnet_common.ResNetImageNet) or hasattr(model, "layer4")
     stage_names = [n for n in ("layer1", "layer2", "layer3", "layer4") if hasattr(model, n)]
 
@@ -215,6 +270,9 @@ def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
         idx += n
 
     stem = conv_of(model, "conv1", "bn1")
+    if (space_to_depth and is_imagenet
+            and stem.w_q.get_value().shape[:2] == (7, 7) and stem.stride == (2, 2)):
+        stem = Int8SpaceToDepthStem(stem)
     stem_out_grid = _grid_of_qconv(blocks_src[0].conv1)
     if not isinstance(model.fc, QLinear):
         raise TypeError("model.fc must be QLinear")

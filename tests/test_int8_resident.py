@@ -94,6 +94,27 @@ def test_resident_parity_after_calibration(rng, depth, dataset, shape):
     assert maxdiff < 1.0, f"logit deviation {maxdiff}"
 
 
+def test_space_to_depth_stem_bit_exact(rng):
+    """The s2d-rewritten 7x7/s2 stem must produce bit-identical int8 output
+    to the direct conv (same taps, permutation-invariant epilogue)."""
+    from quantized_tpu.engine.int8_resident import Int8SpaceToDepthStem
+    from quantized_tpu.engine.int_layers import IntConv2d
+
+    w_q = rng.integers(-127, 128, (7, 7, 3, 32)).astype(np.int8)
+    alpha = rng.uniform(1e-5, 1e-3, 32).astype(np.float32)
+    beta = rng.standard_normal(32).astype(np.float32)
+    conv = IntConv2d(jnp.asarray(w_q), jnp.asarray(alpha), jnp.asarray(beta),
+                     act_scale=0.05, act_zero_point=120,
+                     stride=(2, 2), padding=(3, 3))
+    s2d = Int8SpaceToDepthStem(conv)
+    x_q = jnp.asarray(rng.integers(-128, 128, (2, 64, 64, 3)), np.int8)
+    out_grid = (0.07, 130)
+    a = conv.run_q(x_q, relu=True, out_requant=out_grid)
+    b = s2d.run_q(x_q, relu=True, out_requant=out_grid)
+    assert a.shape == b.shape == (2, 32, 32, 32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resident_imagenet_geometry_builds(rng):
     """ResNet-18 ImageNet geometry (BasicBlock + maxpool path) builds and runs."""
     m = get_model("resnet_quantized_float_bn")(dataset="imagenet", depth=18, rngs=nnx.Rngs(0))

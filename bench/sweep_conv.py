@@ -84,6 +84,30 @@ def i8io_step(pad, stride, c, x_q, w_q, alpha, beta):
     return jnp.float32(jnp.max(y)) * 1e-9
 
 
+def flat_step(pad, stride, c, x_q, w_q, alpha, beta):
+    """Pallas flat-row conv (stride-1 only), int8 in -> int8 out."""
+    from quantized_tpu.ops.int8_conv_pallas import int8_conv_flat
+
+    xq = (x_q + c.astype(jnp.int8)).astype(jnp.int8)
+    y = int8_conv_flat(
+        xq, w_q, alpha, beta, stride=stride, padding=pad, stored_zp=0,
+        relu=True, out_requant=(0.05, 128), interpret=False,
+    )
+    return jnp.float32(jnp.max(y)) * 1e-9
+
+
+def direct_step(pad, stride, c, x_q, w_q, alpha, beta):
+    """Pallas direct conv, int8 in -> int8 out, fused requant epilogue."""
+    from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct
+
+    xq = (x_q + c.astype(jnp.int8)).astype(jnp.int8)
+    y = int8_conv_direct(
+        xq, w_q, alpha, beta, stride=stride, padding=pad, stored_zp=0,
+        relu=True, out_requant=(0.05, 128), interpret=False,
+    )
+    return jnp.float32(jnp.max(y)) * 1e-9
+
+
 def main():
     print(f"device={jax.devices()[0].device_kind} batch={B} modes={MODES}", flush=True)
     rng = np.random.default_rng(0)
@@ -107,6 +131,10 @@ def main():
                     dt = per_iter_time(functools.partial(bf16_step, pad, s), x, w)
                 elif mode == "i8io":
                     dt = per_iter_time(functools.partial(i8io_step, pad, s), x_q8, w_q, alpha, beta)
+                elif mode == "direct":
+                    dt = per_iter_time(functools.partial(direct_step, pad, s), x_q8, w_q, alpha, beta)
+                elif mode == "flat":
+                    dt = per_iter_time(functools.partial(flat_step, pad, s), x_q8, w_q, alpha, beta)
                 else:
                     dt = per_iter_time(functools.partial(int8_step, pad, s, mode), x, w_q, alpha, beta)
                 tops = gops / dt / 1e3

@@ -102,6 +102,20 @@ class IntConv2d(nnx.Module):
         stored int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s
         grid with relu folded before the requant."""
         relu = self.relu if relu is None else relu
+        if self.backend == "pallas" and self.groups == 1:
+            from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct
+
+            return int8_conv_direct(
+                x_q,
+                self.w_q.get_value(),
+                self.alpha.get_value(),
+                self.beta.get_value(),
+                stride=self.stride,
+                padding=self.padding,
+                stored_zp=self.stored_zp,
+                relu=relu,
+                out_requant=out_requant,
+            )
         if self.backend == "gemm" and self.groups == 1:
             return int8_conv_gemm(
                 x_q,

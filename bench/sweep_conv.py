@@ -84,6 +84,24 @@ def i8io_step(pad, stride, c, x_q, w_q, alpha, beta):
     return jnp.float32(jnp.max(y)) * 1e-9
 
 
+def b16io_step(pad, stride, c, x_q, w_f, alpha, beta):
+    """bf16-resident cost model: int8 in, dequant, bf16 conv, requant, int8
+    out — the honest per-layer alternative for a mixed-precision engine."""
+    xq = (x_q + c.astype(jnp.int8)).astype(jnp.int8)
+    xb = ((xq.astype(jnp.float32) + 118.0) * 0.05).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        xb, w_f.astype(jnp.bfloat16),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.maximum(y + beta, 0.0)
+    q = jnp.round(y * 20.0) + 128.0
+    q = (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+    return jnp.float32(jnp.max(q)) * 1e-9
+
+
 def flat_step(pad, stride, c, x_q, w_q, alpha, beta):
     """Pallas flat-row conv (stride-1 only), int8 in -> int8 out."""
     from quantized_tpu.ops.int8_conv_pallas import int8_conv_flat
@@ -135,6 +153,8 @@ def main():
                     dt = per_iter_time(functools.partial(direct_step, pad, s), x_q8, w_q, alpha, beta)
                 elif mode == "flat":
                     dt = per_iter_time(functools.partial(flat_step, pad, s), x_q8, w_q, alpha, beta)
+                elif mode == "b16io":
+                    dt = per_iter_time(functools.partial(b16io_step, pad, s), x_q8, w, alpha, beta)
                 else:
                     dt = per_iter_time(functools.partial(int8_step, pad, s, mode), x, w_q, alpha, beta)
                 tops = gops / dt / 1e3

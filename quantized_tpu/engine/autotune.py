@@ -1,0 +1,141 @@
+"""Per-layer backend autotuner for the int8-resident engine.
+
+XLA's s8 conv path wins on most ResNet shapes on v5e (50-70% of int8 peak on
+the deep 3x3s), but individual layers can prefer the bf16 MXU path or a
+Pallas kernel depending on geometry (bandwidth-bound early layers, small-M
+late layers). This tuner measures each *distinct conv signature* of a built
+``Int8ResNet`` in place — real input shapes recorded from one forward trace,
+real requant epilogues — and pins each layer's ``backend`` to the winner.
+
+Results are cached per device kind in a JSON table so production builds skip
+the measurement (reference has no counterpart: this replaces cuDNN's
+internal algorithm heuristics — SURVEY.md section 2 #21).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from quantized_tpu.engine.int_layers import IntConv2d
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE = os.path.join(os.path.dirname(__file__), "..", "..", "autotune_cache.json")
+
+
+def conv_signature(conv: IntConv2d) -> Tuple:
+    w = conv.w_q.get_value()
+    return (
+        tuple(conv.last_input_shape),
+        tuple(w.shape),
+        tuple(conv.stride),
+        tuple(conv.padding),
+        conv.groups,
+    )
+
+
+def _sig_key(sig: Tuple) -> str:
+    return json.dumps(sig)
+
+
+def _time_backend(conv: IntConv2d, backend: str, requant=(0.05, 128)) -> float:
+    from quantized_tpu.utils.timing import per_iter_time
+
+    prev = conv.backend
+    conv.set_backend(backend)
+    n, h, w, c = conv.last_input_shape
+    x = jnp.zeros((n, h, w, c), jnp.int8)
+    graphdef, state = nnx.split(conv)
+
+    def step(carry, state, x):
+        m = nnx.merge(graphdef, state)
+        y = m.run_q((x + carry.astype(jnp.int8)).astype(jnp.int8), relu=True, out_requant=requant)
+        return jnp.max(y).astype(jnp.float32) * 1e-9
+
+    try:
+        dt = per_iter_time(step, state, x, target_secs=0.4)
+    finally:
+        conv.backend = prev
+    return dt
+
+
+def autotune_resident(
+    model: nnx.Module,
+    example_input: jax.Array,
+    backends: Sequence[str] = ("xla", "bf16"),
+    cache_path: Optional[str] = DEFAULT_CACHE,
+    verbose: bool = True,
+) -> Dict[str, str]:
+    """Tune every IntConv2d in ``model`` in place; returns {sig_key: backend}.
+
+    Runs one forward to record per-layer input shapes, then times each
+    distinct signature on the live device. Pass ``cache_path=None`` to force
+    re-measurement.
+    """
+    jax.block_until_ready(model(example_input))  # record last_input_shape
+
+    device_kind = jax.devices()[0].device_kind
+    cache: Dict[str, Dict[str, str]] = {}
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+    table = cache.setdefault(device_kind, {})
+
+    convs = [
+        m for _, m in nnx.iter_modules(model)
+        if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape")
+    ]
+    measured = 0
+    for conv in convs:
+        key = _sig_key(conv_signature(conv))
+        if key not in table:
+            times = {}
+            for b in backends:
+                if b in ("pallas", "gemm") and conv.groups != 1:
+                    continue
+                try:
+                    times[b] = _time_backend(conv, b)
+                except Exception as e:  # pragma: no cover - device-specific
+                    logger.warning("backend %s failed for %s: %s", b, key, e)
+            best = min(times, key=times.get)
+            table[key] = best
+            measured += 1
+            if verbose:
+                desc = " ".join(f"{b}={t*1e3:.3f}ms" for b, t in sorted(times.items()))
+                print(f"autotune {key}: {desc} -> {best}", flush=True)
+        conv.set_backend(table[key])
+
+    if cache_path and measured:
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1)
+    return table
+
+
+def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
+                          cache_path: str = DEFAULT_CACHE) -> bool:
+    """Apply a previously-saved tuning table without measuring. Returns True
+    when every conv had a cached entry."""
+    if not os.path.exists(cache_path):
+        return False
+    with open(cache_path) as f:
+        cache = json.load(f)
+    table = cache.get(jax.devices()[0].device_kind, {})
+    if not table:
+        return False
+    jax.block_until_ready(model(example_input))
+    complete = True
+    for _, m in nnx.iter_modules(model):
+        if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape"):
+            key = _sig_key(conv_signature(m))
+            if key in table:
+                m.set_backend(table[key])
+            else:
+                complete = False
+    return complete

@@ -51,7 +51,10 @@ def requantize_stored(
 class IntConv2d(nnx.Module):
     """Integer conv with folded BN and fused dequant epilogue.
 
-    backend: 'xla' = lax int8 conv; 'gemm' = Pallas im2col GEMM.
+    backend: 'xla' = lax int8 conv; 'gemm' = Pallas im2col GEMM;
+    'pallas' = direct Pallas conv; 'bf16' = dequantized-int8-weights bf16
+    conv (same activation/weight grids, f32 accumulate — used by the
+    per-layer autotuner where the MXU bf16 path beats the s8 path).
     """
 
     def __init__(
@@ -82,6 +85,48 @@ class IntConv2d(nnx.Module):
     def stored_zp(self) -> int:
         return self.act_zero_point - 128
 
+    def set_backend(self, backend: str) -> None:
+        """Switch the execution path; materializes the dequantized bf16
+        weight copy on first switch to 'bf16'. Call outside jit."""
+        self.backend = backend
+        if backend == "bf16" and not hasattr(self, "w_bf16"):
+            w_f = self.w_q.get_value().astype(jnp.float32)
+            s_w = self.alpha.get_value() / jnp.float32(self.act_scale)
+            colsum = jnp.sum(w_f, axis=(0, 1, 2))
+            # beta = alpha*(128-zp)*colsum + bias  =>  bias = beta - that
+            bias_f = self.beta.get_value() - self.alpha.get_value() * jnp.float32(
+                128 - self.act_zero_point
+            ) * colsum
+            self.w_bf16 = nnx.Param((w_f * s_w).astype(jnp.bfloat16))
+            self.bias_f = nnx.Param(bias_f)
+
+    def _run_bf16(
+        self, x_q: jax.Array, relu: bool, out_requant: Optional[Tuple[float, int]]
+    ) -> jax.Array:
+        """bf16 path on the same stored-int8 grids. The dequantized value of
+        the stored zero-point is exactly 0.0, so plain zero-padded lax conv
+        is correct (no explicit pad pass)."""
+        xb = (
+            (x_q.astype(jnp.float32) + jnp.float32(128 - self.act_zero_point))
+            * jnp.float32(self.act_scale)
+        ).astype(jnp.bfloat16)
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            xb,
+            self.w_bf16.get_value(),
+            window_strides=self.stride,
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        y = y + self.bias_f.get_value()
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if out_requant is not None:
+            return quantize_input_stored(y, *out_requant)
+        return y
+
     @property
     def grid(self) -> Tuple[float, int]:
         """(scale, zero_point) of the uint8 grid this conv expects its input
@@ -102,6 +147,9 @@ class IntConv2d(nnx.Module):
         stored int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s
         grid with relu folded before the requant."""
         relu = self.relu if relu is None else relu
+        self.last_input_shape = tuple(x_q.shape)  # recorded for the autotuner
+        if self.backend == "bf16":
+            return self._run_bf16(x_q, relu, out_requant)
         if self.backend == "pallas" and self.groups == 1:
             from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct
 

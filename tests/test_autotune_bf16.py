@@ -1,0 +1,67 @@
+"""bf16 per-layer backend + autotuner plumbing (CPU)."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from quantized_tpu.engine import build_int8_resident
+from quantized_tpu.engine.autotune import apply_cached_backends, conv_signature, _sig_key
+from quantized_tpu.engine.int_layers import IntConv2d
+from quantized_tpu.models import get_model
+from quantized_tpu.models.layers import QuantMeasure
+
+
+def _calibrated(depth=20):
+    m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=depth, rngs=nnx.Rngs(0))
+    for _, mod in nnx.iter_modules(m):
+        if isinstance(mod, QuantMeasure):
+            mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+            mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+    m.eval()
+    return m
+
+
+def test_bf16_backend_close_to_int8(rng):
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    ref_model = build_int8_resident(_calibrated())
+    ref = ref_model(x)
+
+    bf_model = build_int8_resident(_calibrated())
+    n_switched = 0
+    for _, m in nnx.iter_modules(bf_model):
+        if isinstance(m, IntConv2d):
+            m.set_backend("bf16")
+            n_switched += 1
+    assert n_switched > 10
+    out = bf_model(x)
+    # bf16 weight rounding shifts logits slightly; decisions must agree
+    assert jnp.mean((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).astype(jnp.float32)) == 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.35)
+
+
+def test_apply_cached_backends_roundtrip(rng, tmp_path):
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    model = build_int8_resident(_calibrated())
+    jax.block_until_ready(model(x))
+
+    # fabricate a cache mapping every signature to bf16
+    table = {}
+    for _, m in nnx.iter_modules(model):
+        if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape"):
+            table[_sig_key(conv_signature(m))] = "bf16"
+    cache_path = str(tmp_path / "autotune.json")
+    with open(cache_path, "w") as f:
+        json.dump({jax.devices()[0].device_kind: table}, f)
+
+    model2 = build_int8_resident(_calibrated())
+    assert apply_cached_backends(model2, x, cache_path=cache_path)
+    backends = {
+        m.backend for _, m in nnx.iter_modules(model2) if isinstance(m, IntConv2d)
+    }
+    assert backends == {"bf16"}
+    out = model2(x)
+    assert out.shape == (2, 10)

@@ -45,6 +45,27 @@ def _sig_key(sig: Tuple) -> str:
     return json.dumps(sig)
 
 
+def _record_shapes(model: nnx.Module, example_input: jax.Array) -> None:
+    """Trace one forward abstractly (``jax.eval_shape`` — no device work, no
+    eager tunnel dispatches) so every IntConv2d learns its input shape. nnx
+    forbids mutating outer modules inside a trace, so run_q logs into a side
+    registry which is copied onto the modules afterwards."""
+    from quantized_tpu.engine import int_layers
+
+    recorder: dict = {}
+    int_layers._SHAPE_RECORDER = recorder
+    try:
+        jax.eval_shape(
+            lambda x: model(x),
+            jax.ShapeDtypeStruct(example_input.shape, example_input.dtype),
+        )
+    finally:
+        int_layers._SHAPE_RECORDER = None
+    for _, m in nnx.iter_modules(model):
+        if isinstance(m, IntConv2d) and id(m) in recorder:
+            m.last_input_shape = recorder[id(m)]
+
+
 def _time_backend(conv: IntConv2d, backend: str, requant=(0.05, 128)) -> float:
     from quantized_tpu.utils.timing import per_iter_time
 
@@ -75,11 +96,12 @@ def autotune_resident(
 ) -> Dict[str, str]:
     """Tune every IntConv2d in ``model`` in place; returns {sig_key: backend}.
 
-    Runs one forward to record per-layer input shapes, then times each
-    distinct signature on the live device. Pass ``cache_path=None`` to force
-    re-measurement.
+    Runs one *abstract* forward (``jax.eval_shape`` — no device work, and no
+    eager op-by-op dispatch through the axon tunnel) to record per-layer
+    input shapes, then times each distinct signature on the live device.
+    Pass ``cache_path=None`` to force re-measurement.
     """
-    jax.block_until_ready(model(example_input))  # record last_input_shape
+    _record_shapes(model, example_input)
 
     device_kind = jax.devices()[0].device_kind
     cache: Dict[str, Dict[str, str]] = {}
@@ -129,7 +151,7 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
     table = cache.get(jax.devices()[0].device_kind, {})
     if not table:
         return False
-    jax.block_until_ready(model(example_input))
+    _record_shapes(model, example_input)
     complete = True
     for _, m in nnx.iter_modules(model):
         if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape"):

@@ -28,6 +28,12 @@ class Identity(nnx.Module):
         return x
 
 
+# When set (autotuner shape-recording pass), run_q logs input shapes here
+# keyed by id(module) — nnx forbids attribute mutation on outer modules from
+# inside a trace, so recording must not touch the module itself.
+_SHAPE_RECORDER: Optional[dict] = None
+
+
 def quantize_input_stored(x: jax.Array, scale: float, zero_point: int) -> jax.Array:
     """f32 -> stored int8 (logical uint8 - 128) on the layer's activation grid."""
     q = jnp.round(x * (1.0 / scale)) + jnp.float32(zero_point)
@@ -147,7 +153,8 @@ class IntConv2d(nnx.Module):
         stored int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s
         grid with relu folded before the requant."""
         relu = self.relu if relu is None else relu
-        self.last_input_shape = tuple(x_q.shape)  # recorded for the autotuner
+        if _SHAPE_RECORDER is not None:
+            _SHAPE_RECORDER[id(self)] = tuple(x_q.shape)
         if self.backend == "bf16":
             return self._run_bf16(x_q, relu, out_requant)
         if self.backend == "pallas" and self.groups == 1:

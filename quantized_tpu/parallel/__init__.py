@@ -13,4 +13,6 @@ from quantized_tpu.parallel.sharding import (
     param_partition_spec,
     shard_model_state,
     activation_spec,
+    int_engine_partition_spec,
+    shard_int_engine_state,
 )

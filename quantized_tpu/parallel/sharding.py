@@ -68,3 +68,44 @@ def shard_model_state(state, mesh: Mesh):
         lambda path, leaf: put(tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), leaf),
         state,
     )
+
+
+def int_engine_partition_spec(path: tuple, value: Any) -> P:
+    """Partition rule for the *integer engine* parameter tree (BASELINE
+    config #5: int8 weights tensor-sharded over the model axis).
+
+    Int engine conventions differ from the fake-quant tree: IntConv2d holds
+    HWIO int8 kernels plus per-out-channel (alpha, beta) f32 vectors;
+    IntLinear stores its weight (in, out) — so 2-D weights shard COLUMNS
+    (out) rather than rows. Epilogues/requant are elementwise per out-channel
+    and follow the channel shard; GSPMD inserts the boundary collectives."""
+    ndim = getattr(value, "ndim", 0)
+    if ndim == 4:  # HWIO int8 conv kernel -> out channels
+        return P(None, None, None, MODEL_AXIS)
+    if ndim == 2:  # (in, out) int linear weight -> out columns
+        return P(None, MODEL_AXIS)
+    if ndim == 1 and getattr(value, "shape", (1,))[0] > 1:
+        return P(MODEL_AXIS)  # alpha / beta / bias per-channel vectors
+    return P()
+
+
+def shard_int_engine_state(state, mesh: Mesh):
+    """device_put an Int8ResNet/IntConv tree per ``int_engine_partition_spec``
+    (same divisibility fallback as ``shard_model_state``)."""
+
+    def put(path, leaf):
+        arr = leaf
+        spec = int_engine_partition_spec(path, arr)
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else 1
+            if arr.shape[dim] % size != 0:
+                spec = P()
+                break
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: put(tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), leaf),
+        state,
+    )

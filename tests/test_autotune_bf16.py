@@ -7,7 +7,12 @@ import numpy as np
 from flax import nnx
 
 from quantized_tpu.engine import build_int8_resident
-from quantized_tpu.engine.autotune import apply_cached_backends, conv_signature, _sig_key
+from quantized_tpu.engine.autotune import (
+    apply_cached_backends,
+    conv_signature,
+    _record_shapes,
+    _sig_key,
+)
 from quantized_tpu.engine.int_layers import IntConv2d
 from quantized_tpu.models import get_model
 from quantized_tpu.models.layers import QuantMeasure
@@ -46,7 +51,7 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
 
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
     model = build_int8_resident(_calibrated())
-    jax.block_until_ready(model(x))
+    _record_shapes(model, x)
 
     # fabricate a cache mapping every signature to bf16
     table = {}

@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibrate", type=int, default=0, metavar="N", help="run N calibration batches (observers update, no grads)")
     p.add_argument("--convert-int", action="store_true", help="convert to true-integer execution before eval/serve")
     p.add_argument("--weight-bits", type=int, default=8, choices=[4, 8])
-    p.add_argument("--backend", default="xla", choices=["xla", "gemm"], help="int conv backend")
+    p.add_argument("--backend", default="xla", choices=["xla", "gemm", "pallas", "bf16"], help="int conv backend")
+    p.add_argument("--resident", action="store_true", help="int8-resident engine (activations stay int8 across the net; ResNet geometries)")
+    p.add_argument("--autotune", action="store_true", help="per-layer backend autotune on the live device (resident engine)")
     p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
     p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
     p.add_argument("--mesh-model-parallel", type=int, default=None, help="TP degree over the model axis")
@@ -155,10 +157,26 @@ def main(argv=None):
         logger.info("calibrated observers on %d batches", args.calibrate)
 
     if args.convert_int:
-        from quantized_tpu.engine import convert_to_int
+        if args.resident:
+            from quantized_tpu.engine import build_int8_resident
 
-        convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend)
-        logger.info("converted to int%d execution (backend=%s)", args.weight_bits, args.backend)
+            model = build_int8_resident(model, weight_bits=args.weight_bits, backend=args.backend)
+            trainer.model = model
+            if args.autotune:
+                import jax.numpy as jnp
+
+                from quantized_tpu.engine import apply_cached_backends, autotune_resident
+
+                size = args.input_size or (32 if "cifar" in args.dataset else 224)
+                example = jnp.zeros((args.batch_size, size, size, 3), jnp.float32)
+                if not apply_cached_backends(model, example):
+                    autotune_resident(model, example)
+            logger.info("converted to int%d-resident engine (backend=%s)", args.weight_bits, args.backend)
+        else:
+            from quantized_tpu.engine import convert_to_int
+
+            convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend)
+            logger.info("converted to int%d execution (backend=%s)", args.weight_bits, args.backend)
 
     if args.serve:
         from quantized_tpu.engine.server import serve

@@ -59,6 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model-parallel", type=int, default=None, help="TP degree over the model axis")
     p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--profile", default="", metavar="DIR", help="write an XProf/TensorBoard trace of the eval to DIR")
     return p
 
 
@@ -184,6 +185,14 @@ def main(argv=None):
         return serve(model, mesh=mesh, batch_sizes=(1, 8, 32, args.batch_size), max_steps=args.serve_steps)
 
     if args.evaluate:
+        if args.profile:
+            from quantized_tpu.utils.profiling import trace
+
+            with trace(args.profile):
+                metrics = trainer.validate(val_data.batches(args.batch_size), 0)
+            logger.info("profile trace written to %s", args.profile)
+            print({"top1": metrics["top1"], "top5": metrics["top5"], "loss": metrics["loss"]})
+            return 0
         metrics = trainer.validate(val_data.batches(args.batch_size), 0)
         logger.info("EVAL: loss %.4f top1 %.2f%% top5 %.2f%%", metrics["loss"], metrics["top1"], metrics["top5"])
         print({"top1": metrics["top1"], "top5": metrics["top5"], "loss": metrics["loss"]})

@@ -112,7 +112,9 @@ def _weight_scales(w: np.ndarray, cout_axis_last: bool, num_bits: int) -> np.nda
     return np.maximum(absmax / qmax, 1e-12).astype(np.float32)
 
 
-def _convert_conv(conv: QConv2d, bn, weight_bits: int, backend: str) -> IntConv2d:
+def _convert_conv(
+    conv: QConv2d, bn, weight_bits: int, backend: str, int4_pack: bool = False
+) -> IntConv2d:
     qp = _observer_qparams(conv)
     w_f, b_f = _fold(conv, bn)
     s_w = _weight_scales(w_f, True, weight_bits)
@@ -122,8 +124,14 @@ def _convert_conv(conv: QConv2d, bn, weight_bits: int, backend: str) -> IntConv2
     alpha, beta = matmul_epilogue_params(
         qp.scale, qp.zero_point, jnp.asarray(s_w), jnp.asarray(colsum), jnp.asarray(b_f)
     )
+    int4_shape = None
+    w_store = jnp.asarray(w_q)
+    if int4_pack and weight_bits == 4:
+        from quantized_tpu.ops.int4 import pack_int4_conv
+
+        w_store, int4_shape = pack_int4_conv(w_store)
     return IntConv2d(
-        jnp.asarray(w_q),
+        w_store,
         alpha,
         beta,
         qp.scale,
@@ -133,6 +141,7 @@ def _convert_conv(conv: QConv2d, bn, weight_bits: int, backend: str) -> IntConv2
         groups=conv.groups,
         relu=False,
         backend=backend,
+        int4_shape=int4_shape,
     )
 
 
@@ -163,11 +172,14 @@ def convert_to_int(
     weight_bits: int = 8,
     backend: str = "xla",
     int4_pack_linear: bool = True,
+    int4_pack_conv: bool = True,
 ) -> nnx.Module:
     """In-place conversion; returns the (mutated) model.
 
     weight_bits: 8 (int8) or 4 (int4 weight-only; activations stay uint8).
-    backend: 'xla' | 'gemm' (Pallas im2col) for convs.
+    backend: 'xla' | 'gemm' (Pallas im2col) | 'pallas' (direct) for convs.
+    int4_pack_*: at weight_bits=4, store two nibbles per byte (HBM halving);
+    kernels unpack in the weight-read pass.
     """
     if weight_bits not in (4, 8):
         raise ValueError("weight_bits must be 4 or 8")
@@ -178,7 +190,11 @@ def convert_to_int(
                 continue
             bn = getattr(module, bn_name, None) if bn_name else None
             if isinstance(target, QConv2d):
-                setattr(module, conv_name, _convert_conv(target, bn, weight_bits, backend))
+                setattr(
+                    module,
+                    conv_name,
+                    _convert_conv(target, bn, weight_bits, backend, int4_pack=int4_pack_conv),
+                )
                 if bn is not None:
                     setattr(module, bn_name, Identity())
             elif isinstance(target, QLinear):

@@ -236,7 +236,7 @@ def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
         if not isinstance(conv, QConv2d):
             raise TypeError(f"{conv_name} is {type(conv).__name__}, expected QConv2d "
                             "(build_int8_resident needs the quantized flavor)")
-        return _convert_conv(conv, bn, weight_bits, backend)
+        return _convert_conv(conv, bn, weight_bits, backend, int4_pack=weight_bits == 4)
 
     # walk blocks in execution order to wire each block's out_grid to the
     # next consumer's conv1 observer grid

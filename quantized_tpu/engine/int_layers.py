@@ -75,6 +75,7 @@ class IntConv2d(nnx.Module):
         groups: int = 1,
         relu: bool = False,
         backend: str = "xla",
+        int4_shape: Optional[Tuple[int, int, int, int]] = None,
     ):
         self.w_q = nnx.Param(w_q)
         self.alpha = nnx.Param(alpha)
@@ -86,6 +87,17 @@ class IntConv2d(nnx.Module):
         self.groups = groups
         self.relu = relu
         self.backend = backend
+        # int4 weight-only: w_q holds packed nibbles, int4_shape the HWIO shape
+        self.int4_shape = int4_shape
+
+    def weights(self) -> jax.Array:
+        """HWIO int8 kernel (unpacks packed int4 storage on the fly — one
+        elementwise pass over weights, fused into the conv's weight read)."""
+        if self.int4_shape is not None:
+            from quantized_tpu.ops.int4 import unpack_int4_conv
+
+            return unpack_int4_conv(self.w_q.get_value(), self.int4_shape)
+        return self.w_q.get_value()
 
     @property
     def stored_zp(self) -> int:
@@ -96,7 +108,7 @@ class IntConv2d(nnx.Module):
         weight copy on first switch to 'bf16'. Call outside jit."""
         self.backend = backend
         if backend == "bf16" and not hasattr(self, "w_bf16"):
-            w_f = self.w_q.get_value().astype(jnp.float32)
+            w_f = self.weights().astype(jnp.float32)
             s_w = self.alpha.get_value() / jnp.float32(self.act_scale)
             colsum = jnp.sum(w_f, axis=(0, 1, 2))
             # beta = alpha*(128-zp)*colsum + bias  =>  bias = beta - that
@@ -162,7 +174,7 @@ class IntConv2d(nnx.Module):
 
             return int8_conv_direct(
                 x_q,
-                self.w_q.get_value(),
+                self.weights(),
                 self.alpha.get_value(),
                 self.beta.get_value(),
                 stride=self.stride,
@@ -174,7 +186,7 @@ class IntConv2d(nnx.Module):
         if self.backend == "gemm" and self.groups == 1:
             return int8_conv_gemm(
                 x_q,
-                self.w_q.get_value(),
+                self.weights(),
                 self.alpha.get_value(),
                 self.beta.get_value(),
                 self.stride,
@@ -185,7 +197,7 @@ class IntConv2d(nnx.Module):
             )
         return int8_conv_xla(
             x_q,
-            self.w_q.get_value(),
+            self.weights(),
             self.alpha.get_value(),
             self.beta.get_value(),
             self.stride,

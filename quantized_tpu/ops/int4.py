@@ -53,6 +53,26 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     return out
 
 
+def pack_int4_conv(q_hwio: jax.Array) -> Tuple[jax.Array, Tuple[int, int, int, int]]:
+    """(Kh, Kw, Cin, Cout) int4-valued int8 -> packed (ceil(Kh*Kw*Cin/2), Cout)
+    bytes + the original shape (HBM halving for conv weights). Packs along the
+    flattened contraction axis; odd K is zero-padded."""
+    kh, kw, cin, cout = q_hwio.shape
+    flat = q_hwio.reshape(kh * kw * cin, cout)
+    if flat.shape[0] % 2:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    return pack_int4(flat), (kh, kw, cin, cout)
+
+
+def unpack_int4_conv(packed: jax.Array, shape: Tuple[int, int, int, int]) -> jax.Array:
+    """Inverse of pack_int4_conv -> (Kh, Kw, Cin, Cout) int8 (one cheap
+    elementwise pass over the weights, fused by XLA into the conv's weight
+    read)."""
+    kh, kw, cin, cout = shape
+    flat = unpack_int4(packed)[: kh * kw * cin]
+    return flat.reshape(kh, kw, cin, cout)
+
+
 def int4_matmul(
     a: jax.Array,  # (M, K) int8 activations (stored u-128)
     w_packed: jax.Array,  # (K//2, N) packed int4

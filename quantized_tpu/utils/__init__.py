@@ -3,6 +3,7 @@ meters/metrics, checkpointing, optimizer regimes."""
 
 from quantized_tpu.utils.meters import AverageMeter, accuracy
 from quantized_tpu.utils.logging_utils import ResultsLog, setup_logging
+from quantized_tpu.utils.profiling import trace, start_server, annotate
 from quantized_tpu.utils.checkpoint import (
     save_checkpoint,
     load_checkpoint,

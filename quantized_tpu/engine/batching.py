@@ -10,16 +10,27 @@ tail), so XLA compiles exactly ``len(batch_sizes)`` programs total.
 Metrics: per-request latency (admission -> result), batch occupancy, and
 throughput counters, exported as JSONL-able dicts (SURVEY.md section 5
 observability row).
+
+Failure recovery (SURVEY.md section 5: the reference's only recovery is
+--resume from the last checkpoint): the engine's weights are immutable at
+serving time (warm-start from the Orbax artifact), so crash recovery reduces
+to replaying unacknowledged requests. ``RequestLog`` journals every admitted
+request (JSONL index + raw payload sidecar) and ``replay_request_log``
+re-submits them; per-request results are batch-independent (each image's
+logits depend only on that image — padded rows never mix), so a replay
+reproduces the original outputs exactly.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -30,6 +41,67 @@ class _Request:
     image: np.ndarray
     future: Future
     t_submit: float
+
+
+class RequestLog:
+    """Append-only request journal: ``path.jsonl`` (rid, offset, shape,
+    dtype, ts) + ``path.bin`` (raw image bytes). Thread-safe; fsync on every
+    append so a crash loses at most the in-flight write."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._idx = open(path + ".jsonl", "ab")
+        self._bin = open(path + ".bin", "ab")
+        self._lock = threading.Lock()
+
+    def append(self, rid: int, image: np.ndarray) -> None:
+        raw = np.ascontiguousarray(image).tobytes()
+        with self._lock:
+            off = self._bin.tell()
+            self._bin.write(raw)
+            self._idx.write((json.dumps({
+                "rid": rid, "offset": off, "nbytes": len(raw),
+                "shape": list(image.shape), "dtype": str(image.dtype),
+                "ts": time.time(),
+            }) + "\n").encode())
+            self._bin.flush()
+            self._idx.flush()
+            os.fsync(self._bin.fileno())
+            os.fsync(self._idx.fileno())
+
+    def close(self) -> None:
+        with self._lock:
+            self._idx.close()
+            self._bin.close()
+
+    @staticmethod
+    def read(path: str) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yield (rid, image) in journal order; tolerates a truncated tail
+        (crash mid-append)."""
+        with open(path + ".bin", "rb") as b:
+            raw = b.read()
+        with open(path + ".jsonl", "rb") as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError:
+                    break  # truncated tail
+                end = e["offset"] + e["nbytes"]
+                if end > len(raw):
+                    break
+                img = np.frombuffer(raw[e["offset"]:end], dtype=e["dtype"]).reshape(e["shape"])
+                yield e["rid"], img
+
+
+def replay_request_log(path: str, batcher: "ContinuousBatcher") -> Dict[int, Future]:
+    """Re-submit every journaled request to a (fresh) batcher. Returns
+    {original_rid: Future}; results equal the pre-crash responses because
+    per-request outputs are batch-independent."""
+    futures: Dict[int, Future] = {}
+    for rid, img in RequestLog.read(path):
+        futures[rid] = batcher.submit(img)
+    return futures
 
 
 class ContinuousBatcher:
@@ -46,8 +118,10 @@ class ContinuousBatcher:
         batch_sizes: Sequence[int] = (1, 8, 32),
         max_wait_ms: float = 2.0,
         max_queue: int = 4096,
+        request_log: Optional[str] = None,
     ):
         self.executor = executor
+        self.request_log = RequestLog(request_log) if request_log else None
         self.input_shape = tuple(input_shape)
         self.batch_sizes = tuple(sorted(set(batch_sizes)))
         self.max_wait_s = max_wait_ms / 1e3
@@ -72,6 +146,8 @@ class ContinuousBatcher:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self.request_log is not None:
+            self.request_log.close()
 
     def warmup(self):
         """Precompile every bucket (one dummy batch each)."""
@@ -86,8 +162,11 @@ class ContinuousBatcher:
         with self._rid_lock:
             self._rid += 1
             rid = self._rid
+        img = np.asarray(image, np.float32)
+        if self.request_log is not None:
+            self.request_log.append(rid, img)
         fut: Future = Future()
-        self._queue.put(_Request(rid, np.asarray(image, np.float32), fut, time.perf_counter()))
+        self._queue.put(_Request(rid, img, fut, time.perf_counter()))
         return fut
 
     # ------------------------------------------------------------- scheduler

@@ -196,6 +196,29 @@ class _LazyImageFolder(ArrayDataset):
         return img, int(self.labels[i])
 
 
+def _load_stl10(root: str, split: str, transform) -> Optional[ArrayDataset]:
+    """STL-10 binary format (reference data.py registers torchvision STL10):
+    uint8 CHW column-major images in {train,test}_X.bin + 1-based labels in
+    {train,test}_y.bin under stl10_binary/."""
+    d = os.path.join(root, "STL10", "stl10_binary")
+    if not os.path.isdir(d):
+        d2 = os.path.join(root, "stl10_binary")
+        if not os.path.isdir(d2):
+            return None
+        d = d2
+    try:
+        tag = "train" if split == "train" else "test"
+        with open(os.path.join(d, f"{tag}_X.bin"), "rb") as f:
+            x = np.frombuffer(f.read(), np.uint8).reshape(-1, 3, 96, 96)
+        # binary layout is column-major within each plane -> transpose H/W
+        images = x.transpose(0, 3, 2, 1)  # N, H, W, C
+        with open(os.path.join(d, f"{tag}_y.bin"), "rb") as f:
+            labels = np.frombuffer(f.read(), np.uint8).astype(np.int64) - 1
+        return ArrayDataset(np.ascontiguousarray(images), labels, transform, name="stl10")
+    except Exception:
+        return None
+
+
 def get_dataset(
     name: str,
     split: str = "train",
@@ -211,7 +234,7 @@ def get_dataset(
         "cifar100": lambda: _load_cifar(DATA_DIR, "cifar100", split, transform),
         "mnist": lambda: _load_mnist(DATA_DIR, split, transform),
         "imagenet": lambda: _load_imagefolder(DATA_DIR, "imagenet", split, transform),
-        "stl10": lambda: None,
+        "stl10": lambda: _load_stl10(DATA_DIR, split, transform),
         "synthetic": lambda: None,
     }
     if name not in loaders:

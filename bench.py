@@ -57,6 +57,14 @@ def main():
 
         q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
         int_model = build_int8_resident(q)
+        try:
+            # per-layer backend + pool-impl selection; all-cached after the
+            # first run on a given device kind (autotune_cache.json)
+            from quantized_tpu.engine import autotune_resident
+
+            autotune_resident(int_model, x, verbose=False)
+        except Exception as e:
+            print(f"autotune skipped ({type(e).__name__}: {e})", file=sys.stderr)
         ips = _model_throughput(int_model, x)
     except Exception as e:  # pragma: no cover
         print(f"resident engine failed ({type(e).__name__}: {e}); exact fallback", file=sys.stderr)

@@ -63,15 +63,9 @@ def main():
     )
 
     xq112 = jnp.zeros((B, 112, 112, 64), jnp.int8)
-    time_stage(
-        "maxpool",
-        lambda m, x: jax.lax.reduce_window(
-            x, jnp.int8(-128), jax.lax.max,
-            window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
-            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-        ),
-        xq112,
-    )
+    from quantized_tpu.engine.int8_resident import maxpool_3x3_s2_int8
+
+    time_stage("maxpool", lambda m, x: maxpool_3x3_s2_int8(x), xq112)
 
     shapes = {"layer1": (56, 64), "layer2": (56, 256), "layer3": (28, 512), "layer4": (14, 1024)}
     for ln, (h, c) in shapes.items():

@@ -134,10 +134,44 @@ def autotune_resident(
                 print(f"autotune {key}: {desc} -> {best}", flush=True)
         conv.set_backend(table[key])
 
+    measured += _tune_maxpool(model, example_input, table)
+
     if cache_path and measured:
         with open(cache_path, "w") as f:
             json.dump(cache, f, indent=1)
     return table
+
+
+def _tune_maxpool(model: nnx.Module, example_input: jax.Array, table: Dict[str, str],
+                  verbose: bool = True) -> int:
+    """Time both maxpool implementations on the model's actual stem-output
+    shape and pin the winner in the process-wide pool table (reduce_window's
+    layout choice is chaotic in batch size on v5e — see int8_resident.py)."""
+    from quantized_tpu.engine import int8_resident
+    from quantized_tpu.utils.timing import per_iter_time
+
+    if not getattr(model, "imagenet_pool", False):
+        return 0
+    n = example_input.shape[0]
+    h = example_input.shape[1] // 2
+    shape = (n, h, h, int(model.stem.w_q.get_value().shape[-1]))
+    key = f"maxpool:{json.dumps(shape)}"
+    if key not in table:
+        x = jnp.zeros(shape, jnp.int8)
+        times = {}
+        for impl in ("rw", "interleave"):
+            def step(c, x, _impl=impl):
+                y = int8_resident.maxpool_3x3_s2_int8((x + c.astype(jnp.int8)).astype(jnp.int8), _impl)
+                return jnp.max(y.astype(jnp.int32)).astype(jnp.float32) * 1e-9
+            times[impl] = per_iter_time(step, x, target_secs=0.4)
+        table[key] = min(times, key=times.get)
+        if verbose:
+            desc = " ".join(f"{b}={t*1e3:.3f}ms" for b, t in sorted(times.items()))
+            print(f"autotune {key}: {desc} -> {table[key]}", flush=True)
+        int8_resident._POOL_IMPL_TABLE[shape] = table[key]
+        return 1
+    int8_resident._POOL_IMPL_TABLE[shape] = table[key]
+    return 0
 
 
 def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
@@ -160,4 +194,10 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
                 m.set_backend(table[key])
             else:
                 complete = False
+    # pool impls: load every cached maxpool entry into the process table
+    from quantized_tpu.engine import int8_resident
+
+    for key, impl in table.items():
+        if key.startswith("maxpool:"):
+            int8_resident._POOL_IMPL_TABLE[tuple(json.loads(key[len("maxpool:"):]))] = impl
     return complete

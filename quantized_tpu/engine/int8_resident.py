@@ -172,6 +172,52 @@ class Int8SpaceToDepthStem(nnx.Module):
         )
 
 
+# Measured on v5e at (B,112,112,64) int8: XLA's reduce_window is chaotic in
+# batch (1.71 ms @64, 0.18 @128, 5.12 @192, 0.35 @256 — its layout choice
+# flips), while the phase-decomposed form is stable-fast at small batch
+# (0.19 @32, 0.42 @64) and stable-slow at large (1.5 @192+). Per-shape wins
+# are pinned by autotune (engine/autotune.py) into this table; unseen shapes
+# fall back to the element-count heuristic below.
+_POOL_IMPL_TABLE: dict = {}
+_POOL_HEURISTIC_RW_MIN_ELEMS = 100_000_000
+
+
+def maxpool_3x3_s2_int8(x_q: jax.Array, impl: Optional[str] = None) -> jax.Array:
+    """3x3/stride-2/pad-1 maxpool on stored int8. Two bit-exact
+    implementations (tests pin equality):
+
+    - ``"rw"``: ``lax.reduce_window`` with the int8 identity (-128 = stored
+      uint8 zero);
+    - ``"interleave"``: even/odd phase decomposition — per axis,
+      out[j] = max(x[2j-1], x[2j], x[2j+1]) where x[2j]/x[2j+1] are the
+      phases of a (n//2, 2) reshape and x[2j-1] is the odd phase shifted by
+      one; only contiguous reshapes, one-pixel pads and elementwise max, so
+      its layout never degenerates.
+
+    ``impl=None`` consults the autotune table, then the size heuristic."""
+    n, h, w, c = x_q.shape
+    if impl is None:
+        impl = _POOL_IMPL_TABLE.get((n, h, w, c))
+    if impl is None:
+        impl = "rw" if x_q.size >= _POOL_HEURISTIC_RW_MIN_ELEMS else "interleave"
+    if impl == "rw":
+        return jax.lax.reduce_window(
+            x_q, jnp.int8(-128), jax.lax.max,
+            window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    ho, wo = h // 2, w // 2
+    xw = x_q.reshape(n, h, wo, 2, c)
+    e, o = xw[:, :, :, 0, :], xw[:, :, :, 1, :]
+    o_prev = jnp.pad(o, ((0, 0), (0, 0), (1, 0), (0, 0)), constant_values=-128)[:, :, :wo, :]
+    pw = jnp.maximum(jnp.maximum(e, o), o_prev)
+    xh = pw.reshape(n, ho, 2, wo, c)
+    e2, o2 = xh[:, :, 0], xh[:, :, 1]
+    o2_prev = jnp.pad(o2, ((0, 0), (1, 0), (0, 0), (0, 0)), constant_values=-128)[:, :ho]
+    return jnp.maximum(jnp.maximum(e2, o2), o2_prev)
+
+
 class Int8ResNet(nnx.Module):
     """Int8-resident ResNet (both geometries). Built via
     :func:`build_int8_resident`; forward takes f32 NHWC images and returns
@@ -194,16 +240,7 @@ class Int8ResNet(nnx.Module):
         x_q = self.stem.run_q(x_q, relu=True, out_requant=self.stem_out_grid)
         if self.imagenet_pool:
             # max commutes with the monotone uint8 affine map: pool on int8.
-            # (nnx.max_pool inits with -inf, which doesn't exist in int8 —
-            # use reduce_window with the int8 identity directly.)
-            x_q = jax.lax.reduce_window(
-                x_q,
-                jnp.int8(-128),
-                jax.lax.max,
-                window_dimensions=(1, 3, 3, 1),
-                window_strides=(1, 2, 2, 1),
-                padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-            )
+            x_q = maxpool_3x3_s2_int8(x_q)
         h = x_q
         for i in range(self.num_stages):
             h = getattr(self, f"layer{i + 1}")(h)

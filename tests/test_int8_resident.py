@@ -62,6 +62,21 @@ def test_int8_maxpool_commutes(rng):
     )
 
 
+def test_fast_maxpool_bit_exact_vs_reduce_window(rng):
+    """The phase-decomposed pool (engine hot path) == lax.reduce_window,
+    including the -128 padding identity on all boundaries."""
+    from quantized_tpu.engine.int8_resident import maxpool_3x3_s2_int8
+
+    for shape in [(2, 8, 8, 4), (1, 112, 112, 64), (3, 4, 10, 5)]:
+        x8 = jnp.asarray(rng.integers(-128, 128, size=shape, dtype=np.int8))
+        ref = jax.lax.reduce_window(
+            x8, jnp.int8(-128), jax.lax.max,
+            window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        np.testing.assert_array_equal(np.asarray(maxpool_3x3_s2_int8(x8)), np.asarray(ref))
+
+
 @pytest.mark.parametrize("depth,dataset,shape", [(20, "cifar10", (8, 32, 32, 3))])
 def test_resident_parity_after_calibration(rng, depth, dataset, shape):
     """Calibrate observers on real data stats, then compare the resident

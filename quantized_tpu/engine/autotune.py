@@ -135,6 +135,7 @@ def autotune_resident(
         conv.set_backend(table[key])
 
     measured += _tune_maxpool(model, example_input, table)
+    measured += _tune_stem(model, example_input, table, verbose=verbose)
 
     if cache_path and measured:
         with open(cache_path, "w") as f:
@@ -174,6 +175,48 @@ def _tune_maxpool(model: nnx.Module, example_input: jax.Array, table: Dict[str, 
     return 0
 
 
+def _tune_stem(model: nnx.Module, example_input: jax.Array, table: Dict[str, str],
+               verbose: bool = True) -> int:
+    """Pin the space-to-depth stem's backend (s8 conv vs bf16 conv) for the
+    model's actual input shape. The plain-IntConv2d stem is already covered
+    by the main conv loop; only Int8SpaceToDepthStem needs its own entry."""
+    from quantized_tpu.engine.int8_resident import Int8SpaceToDepthStem
+    from quantized_tpu.utils.timing import per_iter_time
+
+    stem = getattr(model, "stem", None)
+    if not isinstance(stem, Int8SpaceToDepthStem):
+        return 0
+    n, h, w = example_input.shape[0], example_input.shape[1], example_input.shape[2]
+    key = f"stem:{json.dumps([n, h, w, stem.cin])}"
+    if key not in table:
+        x = jnp.zeros((n, h, w, stem.cin), jnp.int8)
+        times = {}
+        prev = stem.backend
+        for b in ("xla", "bf16"):
+            stem.set_backend(b)
+            graphdef, state = nnx.split(stem)
+
+            def step(c, state, x):
+                m = nnx.merge(graphdef, state)
+                y = m.run_q((x + c.astype(jnp.int8)).astype(jnp.int8), relu=True,
+                            out_requant=(0.05, 128))
+                return jnp.max(y.astype(jnp.int32)).astype(jnp.float32) * 1e-9
+
+            try:
+                times[b] = per_iter_time(step, state, x, target_secs=0.4)
+            except Exception as e:  # pragma: no cover - device-specific
+                logger.warning("stem backend %s failed: %s", b, e)
+        stem.backend = prev
+        table[key] = min(times, key=times.get)
+        if verbose:
+            desc = " ".join(f"{b}={t*1e3:.3f}ms" for b, t in sorted(times.items()))
+            print(f"autotune {key}: {desc} -> {table[key]}", flush=True)
+        stem.set_backend(table[key])
+        return 1
+    stem.set_backend(table[key])
+    return 0
+
+
 def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
                           cache_path: str = DEFAULT_CACHE) -> bool:
     """Apply a previously-saved tuning table without measuring. Returns True
@@ -200,4 +243,13 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
     for key, impl in table.items():
         if key.startswith("maxpool:"):
             int8_resident._POOL_IMPL_TABLE[tuple(json.loads(key[len("maxpool:"):]))] = impl
+    # stem backend
+    stem = getattr(model, "stem", None)
+    if isinstance(stem, int8_resident.Int8SpaceToDepthStem):
+        n, h, w = example_input.shape[0], example_input.shape[1], example_input.shape[2]
+        skey = f"stem:{json.dumps([n, h, w, stem.cin])}"
+        if skey in table:
+            stem.set_backend(table[skey])
+        else:
+            complete = False
     return complete

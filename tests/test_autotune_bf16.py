@@ -70,3 +70,31 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
     assert backends == {"bf16"}
     out = model2(x)
     assert out.shape == (2, 10)
+
+
+def test_stem_bf16_backend_close_to_int8(rng):
+    """Int8SpaceToDepthStem 'bf16' path vs its s8 path: same decisions,
+    logits within bf16 weight-rounding tolerance."""
+    from quantized_tpu.engine.int8_resident import Int8SpaceToDepthStem
+
+    def build():
+        m = get_model("resnet_quantized_float_bn")(
+            dataset="imagenet", depth=18, rngs=nnx.Rngs(0))
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return build_int8_resident(m)
+
+    x = jnp.asarray(rng.standard_normal((2, 224, 224, 3)), jnp.float32)
+    ref_model = build()
+    assert isinstance(ref_model.stem, Int8SpaceToDepthStem)
+    ref = ref_model(x)
+
+    bf_model = build()
+    bf_model.stem.set_backend("bf16")
+    assert bf_model.stem.backend == "bf16"
+    out = bf_model(x)
+    assert jnp.mean((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).astype(jnp.float32)) == 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.35)

@@ -113,9 +113,20 @@ def _weight_scales(w: np.ndarray, cout_axis_last: bool, num_bits: int) -> np.nda
 
 
 def _convert_conv(
-    conv: QConv2d, bn, weight_bits: int, backend: str, int4_pack: bool = False
+    conv: QConv2d, bn, weight_bits: int, backend: str, int4_pack: bool = False,
+    act_grid: Optional[Tuple[float, int]] = None,
 ) -> IntConv2d:
-    qp = _observer_qparams(conv)
+    """``act_grid=(scale, zero_point)`` overrides the conv's own observer
+    grid. The epilogue (alpha/beta) is exact for whatever grid the input
+    actually arrives on — the int8-resident builder uses this to feed a
+    block's downsample conv the conv1-quantized tensor directly, with no
+    regrid pass and no double quantization."""
+    if act_grid is not None:
+        class _QP:  # matches activation_qparams_from_observer's interface
+            scale, zero_point = float(act_grid[0]), int(act_grid[1])
+        qp = _QP
+    else:
+        qp = _observer_qparams(conv)
     w_f, b_f = _fold(conv, bn)
     s_w = _weight_scales(w_f, True, weight_bits)
     lim = 2.0 ** (weight_bits - 1) - 1.0

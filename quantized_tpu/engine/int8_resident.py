@@ -13,8 +13,9 @@ first consumer (the block's conv1), instead of every consumer quantizing the
 raw f32 tensor independently. Two deviations follow, both standard in
 production int8 engines and bounded by 1 quantization step:
 
-- a block's downsample path sees the input regridded conv1-grid -> its own
-  observer grid (double quantization) rather than quantizing raw f32;
+- a block's downsample conv consumes the conv1-quantized tensor directly
+  (its epilogue is built on conv1's grid — exact for that input, but the
+  input was quantized on conv1's observer range, not the downsample's own);
 - the identity shortcut carries the conv1-quantized tensor, not raw f32.
 
 The exact-mode engine (convert_to_int, f32 boundaries) remains the bit-exact
@@ -40,7 +41,6 @@ from quantized_tpu.engine.int_layers import (
     IntLinear,
     dequantize_stored,
     quantize_input_stored,
-    requantize_stored,
 )
 from quantized_tpu.models import resnet_common
 from quantized_tpu.models.layers import QConv2d, QLinear
@@ -78,9 +78,9 @@ class Int8Bottleneck(nnx.Module):
         h = self.conv2.run_q(h, relu=True, out_requant=self.conv3.grid)
         acc = self.conv3.run_q(h, relu=False)
         if self.downsample is not None:
-            idq = self.downsample.run_q(
-                requantize_stored(x_q, self.conv1.grid, self.downsample.grid), relu=False
-            )
+            # downsample epilogue was built on conv1's grid (see
+            # build_int8_resident): consumes x_q directly, no regrid pass
+            idq = self.downsample.run_q(x_q, relu=False)
         else:
             idq = dequantize_stored(x_q, *self.conv1.grid)
         return _residual_requant(acc, idq, self.out_grid)
@@ -100,9 +100,7 @@ class Int8BasicBlock(nnx.Module):
         h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
         acc = self.conv2.run_q(h, relu=False)
         if self.downsample is not None:
-            idq = self.downsample.run_q(
-                requantize_stored(x_q, self.conv1.grid, self.downsample.grid), relu=False
-            )
+            idq = self.downsample.run_q(x_q, relu=False)
         else:
             idq = dequantize_stored(x_q, *self.conv1.grid)
         return _residual_requant(acc, idq, self.out_grid)
@@ -306,13 +304,14 @@ def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
     is_imagenet = isinstance(model, resnet_common.ResNetImageNet) or hasattr(model, "layer4")
     stage_names = [n for n in ("layer1", "layer2", "layer3", "layer4") if hasattr(model, n)]
 
-    def conv_of(m, conv_name, bn_name) -> IntConv2d:
+    def conv_of(m, conv_name, bn_name, act_grid=None) -> IntConv2d:
         conv = getattr(m, conv_name)
         bn = getattr(m, bn_name, None)
         if not isinstance(conv, QConv2d):
             raise TypeError(f"{conv_name} is {type(conv).__name__}, expected QConv2d "
                             "(build_int8_resident needs the quantized flavor)")
-        return _convert_conv(conv, bn, weight_bits, backend, int4_pack=weight_bits == 4)
+        return _convert_conv(conv, bn, weight_bits, backend,
+                             int4_pack=weight_bits == 4, act_grid=act_grid)
 
     # walk blocks in execution order to wire each block's out_grid to the
     # next consumer's conv1 observer grid
@@ -326,7 +325,11 @@ def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
         convs = [conv_of(blk, cn, bn) for cn, bn in _block_convs(blk)]
         ds = None
         if getattr(blk, "downsample", None) is not None:
-            ds = conv_of(blk.downsample, "conv", "bn")
+            # the downsample consumes the conv1-quantized tensor directly:
+            # its epilogue is built on conv1's grid (exact — no regrid pass,
+            # no double quantization; its own observer grid is unused here)
+            ds = conv_of(blk.downsample, "conv", "bn",
+                         act_grid=_grid_of_qconv(blk.conv1))
         if bi + 1 < len(blocks_src):
             nxt = blocks_src[bi + 1]
             out_grid = _grid_of_qconv(nxt.conv1)

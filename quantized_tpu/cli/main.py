@@ -56,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--autotune", action="store_true", help="per-layer backend autotune on the live device (resident engine)")
     p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
     p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
+    p.add_argument("--serve-u8", action="store_true", help="serve raw uint8 images (normalize+quantize fused into the engine ingest)")
     p.add_argument("--mesh-model-parallel", type=int, default=None, help="TP degree over the model axis")
     p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
     p.add_argument("--seed", type=int, default=123)
@@ -182,7 +183,9 @@ def main(argv=None):
     if args.serve:
         from quantized_tpu.engine.server import serve
 
-        return serve(model, mesh=mesh, batch_sizes=(1, 8, 32, args.batch_size), max_steps=args.serve_steps)
+        return serve(model, mesh=mesh, batch_sizes=(1, 8, 32, args.batch_size),
+                     max_steps=args.serve_steps,
+                     ingest="u8" if args.serve_u8 else "f32")
 
     if args.evaluate:
         if args.profile:

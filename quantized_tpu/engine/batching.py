@@ -119,10 +119,12 @@ class ContinuousBatcher:
         max_wait_ms: float = 2.0,
         max_queue: int = 4096,
         request_log: Optional[str] = None,
+        dtype=np.float32,
     ):
         self.executor = executor
         self.request_log = RequestLog(request_log) if request_log else None
         self.input_shape = tuple(input_shape)
+        self.dtype = np.dtype(dtype)  # float32, or uint8 for the fused-ingest path
         self.batch_sizes = tuple(sorted(set(batch_sizes)))
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[_Request]" = queue.Queue(max_queue)
@@ -152,7 +154,7 @@ class ContinuousBatcher:
     def warmup(self):
         """Precompile every bucket (one dummy batch each)."""
         for b in self.batch_sizes:
-            self.executor(np.zeros((b, *self.input_shape), np.float32))
+            self.executor(np.zeros((b, *self.input_shape), self.dtype))
         return self
 
     # ------------------------------------------------------------- client API
@@ -162,7 +164,7 @@ class ContinuousBatcher:
         with self._rid_lock:
             self._rid += 1
             rid = self._rid
-        img = np.asarray(image, np.float32)
+        img = np.asarray(image, self.dtype)
         if self.request_log is not None:
             self.request_log.append(rid, img)
         fut: Future = Future()
@@ -195,7 +197,7 @@ class ContinuousBatcher:
                 continue
             self.steps += 1
             bucket = self._pick_bucket(len(reqs))
-            batch = np.zeros((bucket, *self.input_shape), np.float32)
+            batch = np.zeros((bucket, *self.input_shape), self.dtype)
             for i, r in enumerate(reqs):
                 batch[i] = r.image
             try:

@@ -35,9 +35,15 @@ class IntExecutor:
     batch-sharded (pjit/GSPMD inserts the collectives).
     """
 
-    def __init__(self, model: nnx.Module, mesh=None, donate_input: bool = False):
+    def __init__(self, model: nnx.Module, mesh=None, donate_input: bool = False,
+                 ingest: str = "f32"):
+        """``ingest='u8'`` accepts raw uint8 images and uses the model's
+        fused normalize+quantize path (Int8ResNet.run_u8)."""
         enable_compilation_cache()
         self.mesh = mesh
+        self.ingest = ingest
+        if ingest == "u8" and not hasattr(model, "run_u8"):
+            raise ValueError(f"{type(model).__name__} has no uint8 ingest path")
         if mesh is not None:
             from quantized_tpu.parallel.sharding import shard_model_state
 
@@ -47,7 +53,7 @@ class IntExecutor:
 
         def forward(state, x):
             m = nnx.merge(self._graphdef, state)
-            return m(x)
+            return m.run_u8(x) if ingest == "u8" else m(x)
 
         self._forward = jax.jit(forward, donate_argnums=(1,) if donate_input else ())
 

@@ -255,11 +255,28 @@ def maxpool_3x3_s2_int8(x_q: jax.Array, impl: Optional[str] = None) -> jax.Array
     return jnp.maximum(jnp.maximum(e2, o2), o2_prev)
 
 
+def quantize_u8_stored(
+    u8: jax.Array, grid: Grid,
+    mean: jax.Array, std: jax.Array,
+) -> jax.Array:
+    """Raw uint8 images -> stored int8 on ``grid``, with the preprocessing
+    normalize folded in: quantize(((u/255) - mean)/std) collapses to one
+    per-channel affine ``clip(round(u*a + b)) - 128`` — the serving ingest
+    path reads 1 B/pixel instead of 4 B (reference preprocess.py normalize
+    + SURVEY.md section 3.2 eval quantization, composed exactly)."""
+    scale, zp = grid
+    a = 1.0 / (255.0 * std * jnp.float32(scale))
+    b = jnp.float32(zp) - mean / (std * jnp.float32(scale))
+    q = jnp.round(u8.astype(jnp.float32) * a + b)
+    return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
 class Int8ResNet(nnx.Module):
     """Int8-resident ResNet (both geometries). Built via
     :func:`build_int8_resident`; forward takes f32 NHWC images and returns
     f32 logits — everything between the stem quantize and the global avgpool
-    flows as stored int8."""
+    flows as stored int8. :meth:`run_u8` ingests raw uint8 images directly
+    (normalize folded into the quantize — 4x less input HBM traffic)."""
 
     def __init__(self, stem: IntConv2d, stem_out_grid: Grid, stages: List[_Int8Stage],
                  fc: IntLinear, imagenet_pool: bool):
@@ -273,7 +290,19 @@ class Int8ResNet(nnx.Module):
         # final stage emits f32 (out_grid=None on its last block)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        x_q = quantize_input_stored(x, *self.stem.grid)
+        return self._forward_q(quantize_input_stored(x, *self.stem.grid))
+
+    def run_u8(self, u8: jax.Array, mean=None, std=None) -> jax.Array:
+        """Forward from raw uint8 NHWC images (values 0..255); ``mean``/
+        ``std`` are the preprocessing stats the calibration observers saw
+        (default: the reference ImageNet stats)."""
+        from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
+        return self._forward_q(quantize_u8_stored(u8, self.stem.grid, mean, std))
+
+    def _forward_q(self, x_q: jax.Array) -> jax.Array:
         x_q = self.stem.run_q(x_q, relu=True, out_requant=self.stem_out_grid)
         if self.imagenet_pool:
             # max commutes with the monotone uint8 affine map: pool on int8.

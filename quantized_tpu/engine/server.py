@@ -24,10 +24,10 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def make_executor(model, mesh=None):
+def make_executor(model, mesh=None, ingest: str = "f32"):
     from quantized_tpu.engine.executor import IntExecutor
 
-    return IntExecutor(model, mesh=mesh)
+    return IntExecutor(model, mesh=mesh, ingest=ingest)
 
 
 def serve(
@@ -38,17 +38,21 @@ def serve(
     max_steps: int = 0,
     http_port: Optional[int] = None,
     demo_traffic: bool = True,
+    ingest: str = "f32",
 ):
     """Bring up the batcher (+ optional HTTP endpoint); with ``demo_traffic``
     generates synthetic request load and logs latency/throughput stats every
-    second. Returns 0 on clean shutdown."""
+    second. ``ingest='u8'`` serves raw uint8 images through the engine's
+    fused normalize+quantize path (4x less request payload and input HBM
+    traffic). Returns 0 on clean shutdown."""
     from quantized_tpu.engine.batching import ContinuousBatcher
 
     if input_shape is None:
         size = getattr(model, "input_size", 224)
         input_shape = (size, size, 3)
-    ex = make_executor(model, mesh)
-    batcher = ContinuousBatcher(ex, input_shape, batch_sizes).warmup().start()
+    ex = make_executor(model, mesh, ingest=ingest)
+    dtype = np.uint8 if ingest == "u8" else np.float32
+    batcher = ContinuousBatcher(ex, input_shape, batch_sizes, dtype=dtype).warmup().start()
     logger.info("server up: buckets=%s input=%s", tuple(batch_sizes), input_shape)
 
     httpd = None
@@ -64,7 +68,11 @@ def serve(
             while max_steps == 0 or step < max_steps:
                 burst = int(rng.integers(1, max(batch_sizes) + 1))
                 for _ in range(burst):
-                    pending.append(batcher.submit(rng.standard_normal(input_shape).astype(np.float32)))
+                    if ingest == "u8":
+                        img = rng.integers(0, 256, size=input_shape, dtype=np.uint8)
+                    else:
+                        img = rng.standard_normal(input_shape).astype(np.float32)
+                    pending.append(batcher.submit(img))
                 step += 1
                 if len(pending) > 4 * max(batch_sizes):
                     for f in pending:
@@ -112,7 +120,8 @@ def _start_http(batcher, port: int):
             try:
                 shape = tuple(int(s) for s in self.headers["X-Shape"].split(","))
                 n = int(self.headers["Content-Length"])
-                img = np.frombuffer(self.rfile.read(n), np.float32).reshape(shape)
+                dt = np.uint8 if self.headers.get("X-Dtype") == "u8" else np.float32
+                img = np.frombuffer(self.rfile.read(n), dt).reshape(shape)
                 logits = batcher.submit(img).result(timeout=120)
                 top = np.argsort(-logits)[:5]
                 body = json.dumps(

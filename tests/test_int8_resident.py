@@ -142,3 +142,58 @@ def test_resident_imagenet_geometry_builds(rng):
     y = jax.jit(lambda s, v: nnx.merge(gd, s)(v))(st, jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32))
     assert y.shape == (2, 1000)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_quantize_u8_matches_normalize_then_quantize(rng):
+    """Fused uint8 ingest == normalize (reference preprocess) -> quantize,
+    up to 1 int level at round-boundary ties (fp op-order)."""
+    from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from quantized_tpu.engine.int8_resident import quantize_u8_stored
+    from quantized_tpu.engine.int_layers import quantize_input_stored
+
+    u8 = jnp.asarray(rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8))
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    grid = (0.037, 121)
+    fused = np.asarray(quantize_u8_stored(u8, grid, mean, std), np.int32)
+    x = (u8.astype(jnp.float32) / 255.0 - mean) / std
+    ref = np.asarray(quantize_input_stored(x, *grid), np.int32)
+    diff = np.abs(fused - ref)
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-2
+
+
+def _build_resident(rng):
+    """Calibrated CIFAR-geometry resident model (observers see u8-range data)."""
+    m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    m.train()
+    calib = nnx.jit(lambda mm, v: mm(v))
+    for _ in range(2):
+        u8 = rng.integers(0, 256, size=(8, 32, 32, 3)).astype(np.float32)
+        x = (u8 / 255.0 - np.asarray([0.485, 0.456, 0.406])) / np.asarray([0.229, 0.224, 0.225])
+        calib(m, jnp.asarray(x, jnp.float32))
+    m.eval()
+    return build_int8_resident(m)
+
+
+def test_run_u8_matches_f32_path(rng):
+    """Engine uint8 ingest vs normalize-then-__call__: same decisions."""
+    from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    model = _build_resident(rng)
+    u8 = jnp.asarray(rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8))
+    x = (u8.astype(jnp.float32) / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    ref = model(x)
+    out = model.run_u8(u8)
+    assert jnp.mean((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).astype(jnp.float32)) == 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.2)
+
+
+def test_executor_u8_ingest(rng):
+    from quantized_tpu.engine.executor import IntExecutor
+
+    model = _build_resident(rng)
+    ex = IntExecutor(model, ingest="u8")
+    u8 = jnp.asarray(rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8))
+    out = np.asarray(ex(u8))
+    assert out.shape == (2, 10) and np.isfinite(out).all()

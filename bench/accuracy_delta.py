@@ -17,7 +17,14 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
+
+if "--cpu" in sys.argv:  # run off-TPU (e.g. while the chip is busy)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx

@@ -8,6 +8,8 @@ output tile.
 """
 
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import jax

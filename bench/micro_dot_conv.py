@@ -8,6 +8,10 @@ ride the fast path. Also checks 3x3 via XLA-materialized im2col patches.
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import functools
 
 import jax

@@ -9,6 +9,10 @@
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import functools
 
 import jax

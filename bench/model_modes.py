@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -20,7 +22,7 @@ from quantized_tpu.models import get_model
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 MODES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
-    "fp32", "bf16", "int8-exact", "int8-resident"]
+    "fp32", "bf16", "int8-exact", "int8-resident", "int4w-resident"]
 
 
 def build(mode):
@@ -39,6 +41,8 @@ def build(mode):
         return convert_to_int(q, weight_bits=8, backend="xla")
     if mode == "int8-resident":
         return build_int8_resident(q)
+    if mode == "int4w-resident":
+        return build_int8_resident(q, weight_bits=4)
     raise ValueError(mode)
 
 

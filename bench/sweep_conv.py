@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import functools
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import jax

@@ -13,6 +13,8 @@ from __future__ import annotations
 import functools
 import sys
 
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 import jax.numpy as jnp
 import numpy as np

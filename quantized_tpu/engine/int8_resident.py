@@ -48,17 +48,23 @@ from quantized_tpu.models.layers import QConv2d, QLinear
 Grid = Tuple[float, int]
 
 
-def _residual_requant(
-    acc_f32: jax.Array,
-    identity_f32: jax.Array,
-    out_grid: Optional[Grid],
-) -> jax.Array:
-    """relu(acc + identity), then requantize when the consumer wants int8.
-    One fused elementwise pass either way (XLA fuses the whole chain)."""
-    y = jnp.maximum(acc_f32 + identity_f32, 0.0)
-    if out_grid is None:
-        return y
-    return quantize_input_stored(y, *out_grid)
+def _prescaled_identity(x_q: jax.Array, grid: Grid, out_scale: float) -> jax.Array:
+    """Identity shortcut dequantized AND pre-divided by the output grid's
+    scale in one fma: ``(x + (128 - zp)) * (s / s_out)``."""
+    scale, zp = grid
+    k = jnp.float32(scale / out_scale)
+    return x_q.astype(jnp.float32) * k + jnp.float32((128 - zp) * (scale / out_scale))
+
+
+def _residual_requant_prescaled(acc_ps: jax.Array, identity_ps: jax.Array,
+                                shift: int) -> jax.Array:
+    """Minimal-op residual tail: both inputs arrive pre-divided by the output
+    scale (conv epilogues absorbed the 1/s — see IntConv2d.run_q out_prescale;
+    ``acc_ps`` also carries the ``zp-128`` shift), so the fused pass is one
+    add + round + clip. ReLU folds into the clip floor: the stored zero-point
+    dequantizes to exactly 0 and round is monotone."""
+    q = jnp.round(acc_ps + identity_ps)
+    return jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
 
 
 class Int8Bottleneck(nnx.Module):
@@ -76,14 +82,24 @@ class Int8Bottleneck(nnx.Module):
     def __call__(self, x_q: jax.Array) -> jax.Array:
         h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
         h = self.conv2.run_q(h, relu=True, out_requant=self.conv3.grid)
+        if self.out_grid is not None:
+            s_out, zp_out = self.out_grid
+            shift = zp_out - 128
+            acc = self.conv3.run_q(h, relu=False, out_prescale=(s_out, float(shift)))
+            if self.downsample is not None:
+                # downsample epilogue was built on conv1's grid (see
+                # build_int8_resident): consumes x_q directly, no regrid pass
+                idq = self.downsample.run_q(x_q, relu=False, out_prescale=(s_out, 0.0))
+            else:
+                idq = _prescaled_identity(x_q, self.conv1.grid, s_out)
+            return _residual_requant_prescaled(acc, idq, shift)
+        # final block: f32 out for avgpool/fc
         acc = self.conv3.run_q(h, relu=False)
         if self.downsample is not None:
-            # downsample epilogue was built on conv1's grid (see
-            # build_int8_resident): consumes x_q directly, no regrid pass
             idq = self.downsample.run_q(x_q, relu=False)
         else:
             idq = dequantize_stored(x_q, *self.conv1.grid)
-        return _residual_requant(acc, idq, self.out_grid)
+        return jnp.maximum(acc + idq, 0.0)
 
 
 class Int8BasicBlock(nnx.Module):
@@ -98,12 +114,21 @@ class Int8BasicBlock(nnx.Module):
 
     def __call__(self, x_q: jax.Array) -> jax.Array:
         h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
+        if self.out_grid is not None:
+            s_out, zp_out = self.out_grid
+            shift = zp_out - 128
+            acc = self.conv2.run_q(h, relu=False, out_prescale=(s_out, float(shift)))
+            if self.downsample is not None:
+                idq = self.downsample.run_q(x_q, relu=False, out_prescale=(s_out, 0.0))
+            else:
+                idq = _prescaled_identity(x_q, self.conv1.grid, s_out)
+            return _residual_requant_prescaled(acc, idq, shift)
         acc = self.conv2.run_q(h, relu=False)
         if self.downsample is not None:
             idq = self.downsample.run_q(x_q, relu=False)
         else:
             idq = dequantize_stored(x_q, *self.conv1.grid)
-        return _residual_requant(acc, idq, self.out_grid)
+        return jnp.maximum(acc + idq, 0.0)
 
 
 class _Int8Stage(nnx.Module):
@@ -266,9 +291,9 @@ def quantize_u8_stored(
     + SURVEY.md section 3.2 eval quantization, composed exactly)."""
     scale, zp = grid
     a = 1.0 / (255.0 * std * jnp.float32(scale))
-    b = jnp.float32(zp) - mean / (std * jnp.float32(scale))
+    b = jnp.float32(zp - 128) - mean / (std * jnp.float32(scale))
     q = jnp.round(u8.astype(jnp.float32) * a + b)
-    return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+    return jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
 
 
 class Int8ResNet(nnx.Module):

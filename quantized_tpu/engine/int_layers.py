@@ -35,9 +35,13 @@ _SHAPE_RECORDER: Optional[dict] = None
 
 
 def quantize_input_stored(x: jax.Array, scale: float, zero_point: int) -> jax.Array:
-    """f32 -> stored int8 (logical uint8 - 128) on the layer's activation grid."""
-    q = jnp.round(x * (1.0 / scale)) + jnp.float32(zero_point)
-    return (jnp.clip(q, 0.0, 255.0) - 128.0).astype(jnp.int8)
+    """f32 -> stored int8 (logical uint8 - 128) on the layer's activation grid.
+
+    Minimal-op form: the -128 storage shift folds into the zero-point (exact:
+    round(t) + c == round(t + c) for integer c), so the chain is one fma,
+    round, two clips, convert — no separate shift pass."""
+    q = jnp.round(x * jnp.float32(1.0 / scale) + jnp.float32(zero_point - 128))
+    return jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
 
 
 def dequantize_stored(x_q: jax.Array, scale: float, zero_point: int) -> jax.Array:
@@ -119,7 +123,8 @@ class IntConv2d(nnx.Module):
             self.bias_f = nnx.Param(bias_f)
 
     def _run_bf16(
-        self, x_q: jax.Array, relu: bool, out_requant: Optional[Tuple[float, int]]
+        self, x_q: jax.Array, relu: bool, out_requant: Optional[Tuple[float, int]],
+        out_prescale: Optional[float] = None,
     ) -> jax.Array:
         """bf16 path on the same stored-int8 grids. The dequantized value of
         the stored zero-point is exactly 0.0, so plain zero-padded lax conv
@@ -138,11 +143,22 @@ class IntConv2d(nnx.Module):
             feature_group_count=self.groups,
             preferred_element_type=jnp.float32,
         )
+        if out_requant is not None:
+            # minimal-op fused requant (see int8_conv_xla): fold 1/s, the
+            # -128 shift and ReLU into one fma + round + clip chain
+            out_scale, out_zp = out_requant
+            inv = jnp.float32(1.0 / out_scale)
+            beta2 = self.bias_f.get_value() * inv + jnp.float32(out_zp - 128)
+            lo = jnp.float32(out_zp - 128 if relu else -128)
+            q = jnp.round(y * inv + beta2)
+            return jnp.clip(q, lo, 127.0).astype(jnp.int8)
+        if out_prescale is not None:
+            scale, shift = out_prescale
+            inv = jnp.float32(1.0 / scale)
+            return y * inv + (self.bias_f.get_value() * inv + jnp.float32(shift))
         y = y + self.bias_f.get_value()
         if relu:
             y = jnp.maximum(y, 0.0)
-        if out_requant is not None:
-            return quantize_input_stored(y, *out_requant)
         return y
 
     @property
@@ -160,23 +176,36 @@ class IntConv2d(nnx.Module):
         x_q: jax.Array,
         relu: Optional[bool] = None,
         out_requant: Optional[Tuple[float, int]] = None,
+        out_prescale: Optional[Tuple[float, float]] = None,
     ) -> jax.Array:
         """Quantized-input entry (int8-resident mode): ``x_q`` must already be
         stored int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s
-        grid with relu folded before the requant."""
+        grid with relu folded before the requant.
+
+        ``out_prescale=(scale, shift)`` returns f32 ``y/scale + shift``
+        (no relu, no requant) with the division folded into the epilogue's
+        alpha/beta — the residual tail consumes this so its final fused pass
+        is just round+clip, no per-element multiply."""
         relu = self.relu if relu is None else relu
         if _SHAPE_RECORDER is not None:
             _SHAPE_RECORDER[id(self)] = tuple(x_q.shape)
+        alpha, beta = self.alpha.get_value(), self.beta.get_value()
+        if out_prescale is not None:
+            assert out_requant is None and not relu, "prescale excludes requant/relu"
+            scale, shift = out_prescale
+            inv = jnp.float32(1.0 / scale)
+            alpha = alpha * inv
+            beta = beta * inv + jnp.float32(shift)
         if self.backend == "bf16":
-            return self._run_bf16(x_q, relu, out_requant)
+            return self._run_bf16(x_q, relu, out_requant, out_prescale)
         if self.backend == "pallas" and self.groups == 1:
             from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct
 
             return int8_conv_direct(
                 x_q,
                 self.weights(),
-                self.alpha.get_value(),
-                self.beta.get_value(),
+                alpha,
+                beta,
                 stride=self.stride,
                 padding=self.padding,
                 stored_zp=self.stored_zp,
@@ -187,8 +216,8 @@ class IntConv2d(nnx.Module):
             return int8_conv_gemm(
                 x_q,
                 self.weights(),
-                self.alpha.get_value(),
-                self.beta.get_value(),
+                alpha,
+                beta,
                 self.stride,
                 self.padding,
                 self.stored_zp,
@@ -198,8 +227,8 @@ class IntConv2d(nnx.Module):
         return int8_conv_xla(
             x_q,
             self.weights(),
-            self.alpha.get_value(),
-            self.beta.get_value(),
+            alpha,
+            beta,
             self.stride,
             self.padding,
             self.stored_zp,

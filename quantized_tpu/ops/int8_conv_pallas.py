@@ -98,8 +98,8 @@ def _conv_kernel(
         out_ref[...] = y.reshape(nb, bh, wo, bn)
     else:
         out_scale, out_zp = out_requant
-        q = jnp.round(y * (1.0 / out_scale)) + jnp.float32(out_zp)
-        q = jnp.clip(q, 0.0, 255.0) - 128.0
+        q = jnp.round(y * jnp.float32(1.0 / out_scale) + jnp.float32(out_zp - 128))
+        q = jnp.clip(q, -128.0, 127.0)
         out_ref[...] = q.astype(jnp.int8).reshape(nb, bh, wo, bn)
 
 
@@ -139,8 +139,8 @@ def _conv_gatherk_kernel(
         out_ref[...] = y.reshape(nb, bh, wo, bn)
     else:
         out_scale, out_zp = out_requant
-        q = jnp.round(y * (1.0 / out_scale)) + jnp.float32(out_zp)
-        q = jnp.clip(q, 0.0, 255.0) - 128.0
+        q = jnp.round(y * jnp.float32(1.0 / out_scale) + jnp.float32(out_zp - 128))
+        q = jnp.clip(q, -128.0, 127.0)
         out_ref[...] = q.astype(jnp.int8).reshape(nb, bh, wo, bn)
 
 
@@ -181,8 +181,8 @@ def _conv_residual_kernel(
         out_ref[...] = y.reshape(nb, bh, wo, bn)
     else:
         out_scale, out_zp = out_requant
-        q = jnp.round(y * (1.0 / out_scale)) + jnp.float32(out_zp)
-        q = jnp.clip(q, 0.0, 255.0) - 128.0
+        q = jnp.round(y * jnp.float32(1.0 / out_scale) + jnp.float32(out_zp - 128))
+        q = jnp.clip(q, -128.0, 127.0)
         out_ref[...] = q.astype(jnp.int8).reshape(nb, bh, wo, bn)
 
 
@@ -242,8 +242,8 @@ def _flat_kernel(
         out_ref[...] = y.reshape(nb, bm, bn)
     else:
         out_scale, out_zp = out_requant
-        q = jnp.round(y * (1.0 / out_scale)) + jnp.float32(out_zp)
-        q = jnp.clip(q, 0.0, 255.0) - 128.0
+        q = jnp.round(y * jnp.float32(1.0 / out_scale) + jnp.float32(out_zp - 128))
+        q = jnp.clip(q, -128.0, 127.0)
         out_ref[...] = q.astype(jnp.int8).reshape(nb, bm, bn)
 
 

@@ -84,13 +84,14 @@ def _requant_kernel(a_ref, b_ref, alpha_ref, beta_ref, out_ref, acc_ref, *, relu
 
     @pl.when(k == k_steps - 1)
     def _epilogue():
-        y = acc_ref[...].astype(jnp.float32) * alpha_ref[...] + beta_ref[...]
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        # requantize to the next layer's uint8 grid, stored as int8 (u - 128)
-        q = jnp.round(y * (1.0 / out_scale)) + jnp.float32(out_zp)
-        q = jnp.clip(q, 0.0, 255.0) - 128.0
-        out_ref[...] = q.astype(jnp.int8)
+        # minimal-op fused requant (int8_conv.py): 1/s folds into alpha/beta,
+        # the -128 shift into the zero-point, ReLU into the clip floor
+        inv = jnp.float32(1.0 / out_scale)
+        alpha2 = alpha_ref[...] * inv
+        beta2 = beta_ref[...] * inv + jnp.float32(out_zp - 128)
+        lo = jnp.float32(out_zp - 128 if relu else -128)
+        q = jnp.round(acc_ref[...].astype(jnp.float32) * alpha2 + beta2)
+        out_ref[...] = jnp.clip(q, lo, 127.0).astype(jnp.int8)
 
 
 def resolve_interpret(interpret):

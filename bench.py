@@ -18,7 +18,8 @@ from __future__ import annotations
 import json
 import sys
 
-BATCH = 256  # measured best: 10389 img/s @64, 12076 @128, 12584 @256 (v5e)
+BATCH = 128  # measured best after minimal-op epilogues: 15283 img/s @128
+# (autotuned), 13873 @96, 13171 @160, 14061 @192, 14527 @256, 14642 @384 (v5e)
 
 
 def _model_throughput(model, x):

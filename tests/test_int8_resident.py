@@ -197,3 +197,22 @@ def test_executor_u8_ingest(rng):
     u8 = jnp.asarray(rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8))
     out = np.asarray(ex(u8))
     assert out.shape == (2, 10) and np.isfinite(out).all()
+
+
+def test_out_prescale_contract(rng):
+    """run_q(out_prescale=(s, shift)) == run_q()/s + shift (f32, both backends)."""
+    from quantized_tpu.engine.int_layers import IntConv2d
+
+    w_q = jnp.asarray(rng.integers(-30, 31, (3, 3, 8, 16)), jnp.int8)
+    alpha = jnp.asarray(rng.uniform(1e-4, 1e-2, 16), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    x_q = jnp.asarray(rng.integers(-128, 128, (2, 10, 10, 8)), jnp.int8)
+    s, shift = 0.07, 57.0
+    for backend in ("xla", "bf16"):
+        conv = IntConv2d(w_q, alpha, beta, act_scale=0.05, act_zero_point=131,
+                         stride=(1, 1), padding=(1, 1))
+        conv.set_backend(backend)
+        base = np.asarray(conv.run_q(x_q, relu=False))
+        ps = np.asarray(conv.run_q(x_q, relu=False, out_prescale=(s, shift)))
+        np.testing.assert_allclose(ps, base / s + shift, rtol=2e-5, atol=2e-4,
+                                   err_msg=backend)

@@ -23,22 +23,35 @@ from quantized_tpu.models import get_model
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 MODES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
     "fp32", "bf16", "int8-exact", "int8-resident", "int4w-resident"]
+# model family: resnet50 (default) or alexnet (BASELINE config #1; no
+# resident mode — AlexNet converts via the exact f32-boundary engine)
+FAMILY = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
 
 
 def build(mode):
-    if mode in ("fp32", "bf16"):
+    if FAMILY == "alexnet":
+        if mode in ("fp32", "bf16"):
+            m = get_model("alexnet")(rngs=nnx.Rngs(0))
+        else:
+            m = _calibrated_model("alexnet_quantized")
+        m.eval()
+    elif mode in ("fp32", "bf16"):
         m = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
         m.eval()
+    if mode in ("fp32", "bf16"):
         if mode == "bf16":
             state = nnx.state(m)
             nnx.update(m, jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, state))
         return m
-    q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+    q = m if FAMILY == "alexnet" else _calibrated_model(
+        "resnet_quantized_float_bn", dataset="imagenet", depth=50)
     if mode == "fake-quant":
         return q
     if mode == "int8-exact":
         return convert_to_int(q, weight_bits=8, backend="xla")
+    if mode == "int4w-exact":
+        return convert_to_int(q, weight_bits=4, backend="xla")
     if mode == "int8-resident":
         return build_int8_resident(q)
     if mode == "int4w-resident":

@@ -94,10 +94,25 @@ def _requant_kernel(a_ref, b_ref, alpha_ref, beta_ref, out_ref, acc_ref, *, relu
         out_ref[...] = jnp.clip(q, lo, 127.0).astype(jnp.int8)
 
 
+_INTERPRET_OVERRIDE = None
+
+
+def set_interpret_default(value):
+    """Force Pallas interpret mode process-wide (True/False), or restore the
+    backend-derived default (None).  Needed when compiling for an explicit CPU
+    device mesh while the *default* backend is a TPU (e.g. the driver's
+    virtual-device dryrun under this sandbox's 'axon' platform): inside jit
+    there is no way to see the target platform, so the caller must say."""
+    global _INTERPRET_OVERRIDE
+    _INTERPRET_OVERRIDE = value
+
+
 def resolve_interpret(interpret):
     """interpret=None -> interpret-mode on CPU (Pallas TPU kernels cannot
-    compile there), compiled elsewhere."""
+    compile there), compiled elsewhere; see set_interpret_default."""
     if interpret is None:
+        if _INTERPRET_OVERRIDE is not None:
+            return _INTERPRET_OVERRIDE
         return jax.default_backend() == "cpu"
     return interpret
 

@@ -90,7 +90,7 @@ def _time_backend(conv: IntConv2d, backend: str, requant=(0.05, 128)) -> float:
 def autotune_resident(
     model: nnx.Module,
     example_input: jax.Array,
-    backends: Sequence[str] = ("xla", "bf16"),
+    backends: Sequence[str] = ("xla", "bf16", "xla-split", "bf16-split"),
     cache_path: Optional[str] = DEFAULT_CACHE,
     verbose: bool = True,
 ) -> Dict[str, str]:
@@ -192,7 +192,7 @@ def _tune_stem(model: nnx.Module, example_input: jax.Array, table: Dict[str, str
         x = jnp.zeros((n, h, w, stem.cin), jnp.int8)
         times = {}
         prev = stem.backend
-        for b in ("xla", "bf16"):
+        for b in ("xla", "bf16", "xla-split"):
             stem.set_backend(b)
             graphdef, state = nnx.split(stem)
 

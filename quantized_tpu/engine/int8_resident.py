@@ -227,6 +227,14 @@ class Int8SpaceToDepthStem(nnx.Module):
             if relu:
                 y = jnp.maximum(y, 0.0)
             return quantize_input_stored(y, *out_requant)
+        if self.backend == "xla-split":
+            # f32-out conv + separate requant pass (see IntConv2d docstring)
+            y = int8_conv_xla(
+                xs, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(),
+                stride=(1, 1), padding=(0, 0), stored_zp=self.act_zero_point - 128,
+                relu=relu,
+            )
+            return quantize_input_stored(y, *out_requant)
         return int8_conv_xla(
             xs, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(),
             stride=(1, 1), padding=(0, 0), stored_zp=self.act_zero_point - 128,

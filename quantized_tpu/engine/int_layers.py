@@ -65,6 +65,15 @@ class IntConv2d(nnx.Module):
     'pallas' = direct Pallas conv; 'bf16' = dequantized-int8-weights bf16
     conv (same activation/weight grids, f32 accumulate — used by the
     per-layer autotuner where the MXU bf16 path beats the s8 path).
+
+    'xla-split' / 'bf16-split': same math, but the requant-to-int8 tail runs
+    as a *separate* elementwise pass over the f32 conv output instead of
+    being folded into the conv's epilogue. Counterintuitively this is ~2x
+    faster on v5e for the "expand" 1x1 shapes (e.g. 56x56, 64->256: 0.41 ms
+    fused vs 0.25 ms split at B=128) — with the s8 output fused in, XLA
+    picks a layout/fusion for the conv that stalls on the (8,128)->(32,128)
+    retiling; left as f32, the conv runs at the HBM roofline and the
+    quantize pass streams at full elementwise bandwidth. Autotuned per shape.
     """
 
     def __init__(
@@ -111,7 +120,7 @@ class IntConv2d(nnx.Module):
         """Switch the execution path; materializes the dequantized bf16
         weight copy on first switch to 'bf16'. Call outside jit."""
         self.backend = backend
-        if backend == "bf16" and not hasattr(self, "w_bf16"):
+        if backend.startswith("bf16") and not hasattr(self, "w_bf16"):
             w_f = self.weights().astype(jnp.float32)
             s_w = self.alpha.get_value() / jnp.float32(self.act_scale)
             colsum = jnp.sum(w_f, axis=(0, 1, 2))
@@ -196,7 +205,20 @@ class IntConv2d(nnx.Module):
             inv = jnp.float32(1.0 / scale)
             alpha = alpha * inv
             beta = beta * inv + jnp.float32(shift)
-        if self.backend == "bf16":
+        split = self.backend.endswith("-split") and out_requant is not None
+        if split:
+            # run the conv with a plain f32 epilogue, then requantize in a
+            # separate pass (see class docstring for why this can be faster)
+            out_scale, out_zp = out_requant
+            if self.backend == "bf16-split":
+                y = self._run_bf16(x_q, relu, None, None)
+            else:
+                y = int8_conv_xla(
+                    x_q, self.weights(), alpha, beta, self.stride, self.padding,
+                    self.stored_zp, relu=relu, groups=self.groups,
+                )
+            return quantize_input_stored(y, out_scale, out_zp)
+        if self.backend.startswith("bf16"):
             return self._run_bf16(x_q, relu, out_requant, out_prescale)
         if self.backend == "pallas" and self.groups == 1:
             from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct

@@ -98,3 +98,29 @@ def test_stem_bf16_backend_close_to_int8(rng):
     out = bf_model(x)
     assert jnp.mean((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).astype(jnp.float32)) == 1.0
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.35)
+
+
+def test_split_backends_match_fused(rng):
+    """'xla-split' must be bit-identical to 'xla' (same ops, different
+    fusion boundary); 'bf16-split' must match 'bf16' the same way. Whole-net
+    check: identical int8 activations at every layer -> identical logits."""
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    ref_model = build_int8_resident(_calibrated())
+    ref = ref_model(x)
+
+    split_model = build_int8_resident(_calibrated())
+    n = 0
+    for _, m in nnx.iter_modules(split_model):
+        if isinstance(m, IntConv2d):
+            m.set_backend("xla-split")
+            n += 1
+    assert n > 10
+    np.testing.assert_array_equal(np.asarray(split_model(x)), np.asarray(ref))
+
+    bf_model = build_int8_resident(_calibrated())
+    bfs_model = build_int8_resident(_calibrated())
+    for model, backend in ((bf_model, "bf16"), (bfs_model, "bf16-split")):
+        for _, m in nnx.iter_modules(model):
+            if isinstance(m, IntConv2d):
+                m.set_backend(backend)
+    np.testing.assert_array_equal(np.asarray(bfs_model(x)), np.asarray(bf_model(x)))

@@ -109,6 +109,60 @@ def random_sized_crop(img: np.ndarray, size: int, rng: np.random.Generator) -> n
     return center_crop(resize_shorter(img, size), size)
 
 
+def grayscale(img01: np.ndarray) -> np.ndarray:
+    """Reference ``Grayscale`` (preprocess.py ~L100-115): luma with the
+    0.299/0.587/0.114 weights, replicated to all 3 channels. HWC [0,1]."""
+    luma = (
+        0.299 * img01[..., 0] + 0.587 * img01[..., 1] + 0.114 * img01[..., 2]
+    ).astype(np.float32)
+    return np.repeat(luma[..., None], 3, axis=-1)
+
+
+def _lerp(img01: np.ndarray, target: np.ndarray, alpha: float) -> np.ndarray:
+    """torch ``img.lerp_(gs, alpha)``: img + alpha * (gs - img)."""
+    return (img01 + np.float32(alpha) * (target - img01)).astype(np.float32)
+
+
+def saturation_jitter(img01: np.ndarray, var: float, rng: np.random.Generator) -> np.ndarray:
+    """Reference ``Saturation(var)``: lerp toward grayscale by U(0, var)."""
+    return _lerp(img01, grayscale(img01), rng.uniform(0.0, var))
+
+
+def brightness_jitter(img01: np.ndarray, var: float, rng: np.random.Generator) -> np.ndarray:
+    """Reference ``Brightness(var)``: lerp toward black by U(0, var)."""
+    return _lerp(img01, np.zeros_like(img01), rng.uniform(0.0, var))
+
+
+def contrast_jitter(img01: np.ndarray, var: float, rng: np.random.Generator) -> np.ndarray:
+    """Reference ``Contrast(var)``: lerp toward the scalar mean of the
+    grayscale image by U(0, var)."""
+    gs = grayscale(img01)
+    return _lerp(img01, np.full_like(img01, gs.mean(dtype=np.float64)), rng.uniform(0.0, var))
+
+
+def color_jitter(
+    img01: np.ndarray,
+    brightness: float = 0.4,
+    contrast: float = 0.4,
+    saturation: float = 0.4,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Reference ``ColorJitter`` = ``RandomOrder([Brightness, Contrast,
+    Saturation])`` (preprocess.py ~L150-200): the enabled jitters applied in
+    a random order."""
+    rng = rng or np.random.default_rng()
+    ops = []
+    if brightness:
+        ops.append(lambda im: brightness_jitter(im, brightness, rng))
+    if contrast:
+        ops.append(lambda im: contrast_jitter(im, contrast, rng))
+    if saturation:
+        ops.append(lambda im: saturation_jitter(im, saturation, rng))
+    for i in rng.permutation(len(ops)):
+        img01 = ops[i](img01)
+    return img01
+
+
 def resize_exact(img: np.ndarray, h: int, w: int) -> np.ndarray:
     if _HAVE_PIL:
         pil = Image.fromarray(img.astype(np.uint8)) if img.dtype != np.uint8 else Image.fromarray(img)
@@ -131,6 +185,7 @@ class Transform:
     pad: int = 0
     inception: bool = False
     lighting_std: float = 0.0
+    jitter: float = 0.0  # ColorJitter strength (ref inception_color_preproccess: 0.4)
 
     def __call__(self, img_u8: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """uint8 HWC (or HW for mono) -> normalized f32 HWC."""
@@ -146,6 +201,8 @@ class Transform:
                 img = center_crop(resize_shorter(img_u8, self.scale_size), self.input_size)
             img = random_horizontal_flip(img, rng)
             img01 = img.astype(np.float32) / 255.0
+            if self.jitter:
+                img01 = color_jitter(img01, self.jitter, self.jitter, self.jitter, rng)
             if self.lighting_std:
                 img01 = lighting(img01, self.lighting_std, rng)
         else:
@@ -164,9 +221,11 @@ def get_transform(
 ) -> Transform:
     """Reference get_transform dispatcher (preprocess.py ~L35-80):
     imagenet 224/256, cifar10 32/40 pad_random_crop(4), mnist 28."""
-    if name == "imagenet" or name == "imagenet_inception":
+    if name in ("imagenet", "imagenet_inception", "imagenet_inception_color"):
         input_size = input_size or 224
         scale_size = scale_size or 256
+        inception = augment and name != "imagenet"
+        color = augment and name.endswith("color")
         return Transform(
             name,
             input_size,
@@ -174,8 +233,9 @@ def get_transform(
             IMAGENET_MEAN,
             IMAGENET_STD,
             augment,
-            inception=augment and name.endswith("inception"),
-            lighting_std=0.1 if (augment and name.endswith("inception")) else 0.0,
+            inception=inception,
+            lighting_std=0.1 if color else 0.0,
+            jitter=0.4 if color else 0.0,
         )
     if name in ("cifar10", "cifar100"):
         input_size = input_size or 32

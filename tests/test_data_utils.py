@@ -128,3 +128,70 @@ def test_reference_export_then_ingest_roundtrip(tmp_path):
     m2.eval()
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
     np.testing.assert_allclose(np.asarray(m(x)), np.asarray(m2(x)), rtol=1e-5, atol=1e-5)
+
+
+def test_color_jitter_matches_reference_formulas():
+    """Grayscale/Saturation/Brightness/Contrast (reference preprocess.py
+    ~L100-200) vs an independent torch re-statement of the same lerp math
+    on CHW tensors."""
+    import torch
+
+    from quantized_tpu.data.preprocess import (
+        brightness_jitter,
+        contrast_jitter,
+        grayscale,
+        saturation_jitter,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.random((9, 11, 3)).astype(np.float32)  # HWC [0,1]
+    t = torch.from_numpy(img.transpose(2, 0, 1)).double()  # CHW like the reference
+
+    # Grayscale: luma replicated to 3 channels
+    gs_t = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2]
+    np.testing.assert_allclose(
+        grayscale(img), np.stack([gs_t.numpy()] * 3, -1), rtol=0, atol=1e-6
+    )
+
+    # each jitter with a pinned alpha (feed a deterministic one-value rng)
+    class FixedRng:
+        def __init__(self, a):
+            self.a = a
+
+        def uniform(self, lo, hi):
+            assert lo == 0.0
+            return self.a * hi
+
+    alpha = 0.3 * 0.4  # U(0, 0.4) drawn at 0.3 of the range
+    sat = t.lerp(torch.stack([gs_t] * 3), alpha)
+    np.testing.assert_allclose(
+        saturation_jitter(img, 0.4, FixedRng(0.3)),
+        sat.numpy().transpose(1, 2, 0), rtol=0, atol=1e-6)
+    bri = t.lerp(torch.zeros_like(t), alpha)
+    np.testing.assert_allclose(
+        brightness_jitter(img, 0.4, FixedRng(0.3)),
+        bri.numpy().transpose(1, 2, 0), rtol=0, atol=1e-6)
+    con = t.lerp(torch.full_like(t, float(gs_t.mean())), alpha)
+    np.testing.assert_allclose(
+        contrast_jitter(img, 0.4, FixedRng(0.3)),
+        con.numpy().transpose(1, 2, 0), rtol=0, atol=1e-5)
+
+
+def test_inception_color_pipeline():
+    """imagenet_inception_color = RandomSizedCrop + flip + ColorJitter +
+    PCA lighting + normalize (reference inception_color_preproccess)."""
+    from quantized_tpu.data.preprocess import color_jitter
+
+    tr = get_transform("imagenet_inception_color", augment=True)
+    assert tr.jitter == 0.4 and tr.lighting_std == 0.1 and tr.inception
+    img = np.random.default_rng(0).integers(0, 256, (300, 280, 3), np.uint8)
+    out1 = tr(img, np.random.default_rng(5))
+    out2 = tr(img, np.random.default_rng(5))
+    out3 = tr(img, np.random.default_rng(6))
+    assert out1.shape == (224, 224, 3) and out1.dtype == np.float32
+    np.testing.assert_array_equal(out1, out2)
+    assert np.abs(out1 - out3).max() > 1e-3  # different seed -> different aug
+
+    # zero-strength jitter is the identity
+    x = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+    np.testing.assert_array_equal(color_jitter(x, 0, 0, 0, np.random.default_rng(0)), x)

@@ -52,10 +52,12 @@ def build(mode):
         return convert_to_int(q, weight_bits=8, backend="xla")
     if mode == "int4w-exact":
         return convert_to_int(q, weight_bits=4, backend="xla")
-    if mode == "int8-resident":
-        return build_int8_resident(q)
-    if mode == "int4w-resident":
-        return build_int8_resident(q, weight_bits=4)
+    if mode in ("int8-resident", "int4w-resident"):
+        eng = build_int8_resident(q, weight_bits=4 if mode == "int4w-resident" else 8)
+        from quantized_tpu.engine import apply_cached_backends
+
+        apply_cached_backends(eng, jnp.zeros((B, 224, 224, 3), jnp.float32))
+        return eng
     raise ValueError(mode)
 
 

@@ -33,8 +33,10 @@ def main():
     enable_compilation_cache()
     q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
     model = build_int8_resident(q)
+    from quantized_tpu.engine import apply_cached_backends
 
-    print(f"device={jax.devices()[0].device_kind} batch={B}", flush=True)
+    tuned = apply_cached_backends(model, jnp.zeros((B, 224, 224, 3), jnp.float32))
+    print(f"device={jax.devices()[0].device_kind} batch={B} tuned_cache={tuned}", flush=True)
     rows = []
 
     def time_stage(name, fn, *args):

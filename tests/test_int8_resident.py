@@ -77,14 +77,19 @@ def test_fast_maxpool_bit_exact_vs_reduce_window(rng):
         np.testing.assert_array_equal(np.asarray(maxpool_3x3_s2_int8(x8)), np.asarray(ref))
 
 
-@pytest.mark.parametrize("depth,dataset,shape", [(20, "cifar10", (8, 32, 32, 3))])
-def test_resident_parity_after_calibration(rng, depth, dataset, shape):
+@pytest.mark.parametrize("model_name,depth,dataset,shape", [
+    ("resnet_quantized_float_bn", 20, "cifar10", (8, 32, 32, 3)),
+    # RangeBN flavor: the resident builder folds RangeBN's range-derived
+    # scale buffers the same way (ingest/bn_fold.py)
+    ("resnet_quantized", 20, "cifar10", (8, 32, 32, 3)),
+])
+def test_resident_parity_after_calibration(rng, model_name, depth, dataset, shape):
     """Calibrate observers on real data stats, then compare the resident
     engine against the bit-exact f32-boundary engine: same top-1 on most
     samples and bounded logit deviation (<= a few quant steps)."""
 
     def calibrated():
-        m = get_model("resnet_quantized_float_bn")(dataset=dataset, depth=depth, rngs=nnx.Rngs(0))
+        m = get_model(model_name)(dataset=dataset, depth=depth, rngs=nnx.Rngs(0))
         m.train()
         calib = nnx.jit(lambda mm, v: mm(v))
         for i in range(3):
@@ -103,10 +108,16 @@ def test_resident_parity_after_calibration(rng, depth, dataset, shape):
     gd2, st2 = nnx.split(exact)
     y_exact = jax.jit(lambda s, v: nnx.merge(gd2, s)(v))(st2, x)
 
-    agree = float(jnp.mean((jnp.argmax(y_res, -1) == jnp.argmax(y_exact, -1)).astype(jnp.float32)))
     maxdiff = float(jnp.max(jnp.abs(y_res - y_exact)))
-    assert agree >= 0.75, f"top-1 agreement {agree}"
     assert maxdiff < 1.0, f"logit deviation {maxdiff}"
+    # top-1 must agree wherever the exact engine's decision margin clearly
+    # exceeds the engines' numeric deviation (untrained nets have near-tied
+    # logits, so unconditional agreement is not a sound check)
+    top2 = jnp.sort(y_exact, axis=-1)[:, -2:]
+    margin = np.asarray(top2[:, 1] - top2[:, 0])
+    clear = margin > 2.0 * maxdiff
+    agree = np.asarray(jnp.argmax(y_res, -1) == jnp.argmax(y_exact, -1))
+    assert agree[clear].all(), f"disagreement on clear-margin samples (margins {margin[clear]})"
 
 
 def test_space_to_depth_stem_bit_exact(rng):

@@ -192,7 +192,7 @@ def _tune_stem(model: nnx.Module, example_input: jax.Array, table: Dict[str, str
         x = jnp.zeros((n, h, w, stem.cin), jnp.int8)
         times = {}
         prev = stem.backend
-        for b in ("xla", "bf16", "xla-split"):
+        for b in ("xla", "bf16", "xla-split", "raw-bf16-split", "raw-xla-split"):
             stem.set_backend(b)
             graphdef, state = nnx.split(stem)
 

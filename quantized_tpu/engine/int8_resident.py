@@ -175,9 +175,14 @@ class Int8SpaceToDepthStem(nnx.Module):
         self.act_scale = stem.act_scale
         self.act_zero_point = stem.act_zero_point
         self.cin = cin
-        # "xla" (s8 conv) or "bf16" (dequantized-weight MXU bf16 conv) —
-        # measured 1.34 vs 1.15 ms at B=256 on v5e; pinned per-shape by the
-        # autotuner like IntConv2d backends.
+        # keep the raw 7x7 conv too: with the bf16 emitter XLA handles the
+        # Cin=3 stem well, and "raw-bf16-split" measured *faster* than every
+        # s2d form at B=128 (0.498 vs 0.539 ms) — the form is autotuned.
+        self.raw = stem
+        # "xla" (s8 conv), "bf16" (dequantized-weight MXU bf16 conv),
+        # "xla-split" (s8 conv + separate requant), or "raw-<backend>"
+        # (bypass space-to-depth, run the original 7x7 IntConv2d with
+        # <backend>) — pinned per-shape by the autotuner.
         self.backend = "xla"
 
     @property
@@ -188,6 +193,9 @@ class Int8SpaceToDepthStem(nnx.Module):
         """Switch execution path; materializes the dequantized bf16 weight
         copy on first switch to 'bf16'. Call outside jit."""
         self.backend = backend
+        if backend.startswith("raw-"):
+            self.raw.set_backend(backend[len("raw-"):])
+            return
         if backend == "bf16" and not hasattr(self, "w_bf16"):
             w_f = self.w_q.get_value().astype(jnp.float32)
             s_w = self.alpha.get_value() / jnp.float32(self.act_scale)
@@ -211,6 +219,8 @@ class Int8SpaceToDepthStem(nnx.Module):
     def run_q(self, x_q: jax.Array, relu: bool, out_requant: Grid) -> jax.Array:
         from quantized_tpu.ops.int8_conv import int8_conv_xla
 
+        if self.backend.startswith("raw-"):
+            return self.raw.run_q(x_q, relu=relu, out_requant=out_requant)
         xs = self._s2d(x_q)
         if self.backend == "bf16":
             # stored zero-point dequantizes to exactly 0.0, so the padded

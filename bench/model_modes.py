@@ -53,7 +53,13 @@ def build(mode):
     if mode == "int4w-exact":
         return convert_to_int(q, weight_bits=4, backend="xla")
     if mode in ("int8-resident", "int4w-resident"):
-        eng = build_int8_resident(q, weight_bits=4 if mode == "int4w-resident" else 8)
+        wb = 4 if mode == "int4w-resident" else 8
+        if FAMILY == "alexnet":
+            from quantized_tpu.engine import build_int8_alexnet
+
+            eng = build_int8_alexnet(q, weight_bits=wb)
+        else:
+            eng = build_int8_resident(q, weight_bits=wb)
         from quantized_tpu.engine import apply_cached_backends
 
         apply_cached_backends(eng, jnp.zeros((B, 224, 224, 3), jnp.float32))

@@ -282,12 +282,25 @@ class IntLinear(nnx.Module):
         self.relu = relu
         self.int4 = int4
 
+    @property
+    def grid(self) -> Tuple[float, int]:
+        return (self.act_scale, self.act_zero_point)
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        x_q = quantize_input_stored(x, self.act_scale, self.act_zero_point)
-        if self.int4:
-            return int4_matmul(
-                x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=self.relu
-            )
-        return int8_matmul(
-            x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=self.relu
-        )
+        return self.run_q(quantize_input_stored(x, self.act_scale, self.act_zero_point))
+
+    def run_q(
+        self,
+        x_q: jax.Array,
+        relu: Optional[bool] = None,
+        out_requant: Optional[Tuple[float, int]] = None,
+    ) -> jax.Array:
+        """Quantized-input entry (int8-resident mode): ``x_q`` already stored
+        int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s grid
+        (split-style: separate quantize pass — see IntConv2d docstring)."""
+        relu = self.relu if relu is None else relu
+        mm = int4_matmul if self.int4 else int8_matmul
+        y = mm(x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=relu)
+        if out_requant is not None:
+            return quantize_input_stored(y, *out_requant)
+        return y

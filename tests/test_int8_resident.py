@@ -227,3 +227,53 @@ def test_out_prescale_contract(rng):
         ps = np.asarray(conv.run_q(x_q, relu=False, out_prescale=(s, shift)))
         np.testing.assert_allclose(ps, base / s + shift, rtol=2e-5, atol=2e-4,
                                    err_msg=backend)
+
+
+class TestInt8AlexNet:
+    """Int8-resident AlexNet (engine/int8_alexnet.py): pool-vs-BN-fold
+    ordering makes this architecture the interesting one (module docstring)."""
+
+    @staticmethod
+    def _calibrated(flip_gamma: bool):
+        m = get_model("alexnet_quantized")(rngs=nnx.Rngs(0))
+        if flip_gamma:
+            for bn in (m.bn1, m.bn2, m.bn5):
+                s = np.array(bn.scale.get_value())
+                s[::7] *= -1.0
+                bn.scale.set_value(jnp.asarray(s))
+        m.train()
+        calib = nnx.jit(lambda mm, v: mm(v))
+        r = np.random.default_rng(1)
+        for _ in range(2):
+            calib(m, jnp.asarray(r.standard_normal((2, 224, 224, 3)), jnp.float32))
+        m.eval()
+        return m
+
+    @pytest.mark.parametrize("flip_gamma", [False, True])
+    def test_parity_vs_fakequant(self, rng, flip_gamma):
+        from quantized_tpu.engine import build_int8_alexnet
+
+        x = jnp.asarray(rng.standard_normal((4, 224, 224, 3)), jnp.float32)
+        ref = np.asarray(self._calibrated(flip_gamma)(x))
+        eng = build_int8_alexnet(self._calibrated(flip_gamma))
+        masks = (eng.neg1, eng.neg2, eng.neg5)
+        if flip_gamma:
+            assert all(m is not None for m in masks)  # min-pool dual engaged
+        else:
+            assert all(m is None for m in masks)  # fast path: no select
+        got = np.asarray(eng(x))
+        assert (ref.argmax(-1) == got.argmax(-1)).all()
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.2, rel  # per-channel-vs-per-tensor weight-grid drift
+
+    def test_u8_ingest_matches_f32(self, rng):
+        from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+        from quantized_tpu.engine import build_int8_alexnet
+
+        eng = build_int8_alexnet(self._calibrated(False))
+        u8 = jnp.asarray(rng.integers(0, 256, (2, 224, 224, 3)), jnp.uint8)
+        f32 = (np.asarray(u8).astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        y_u8 = np.asarray(eng.run_u8(u8))
+        y_f32 = np.asarray(eng(jnp.asarray(f32)))
+        # both paths quantize onto the same stem grid; tiny f32 rounding only
+        np.testing.assert_allclose(y_u8, y_f32, atol=1e-3, rtol=0)

@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--convert-int", action="store_true", help="convert to true-integer execution before eval/serve")
     p.add_argument("--weight-bits", type=int, default=8, choices=[4, 8])
     p.add_argument("--backend", default="xla", choices=["xla", "gemm", "pallas", "bf16"], help="int conv backend")
-    p.add_argument("--resident", action="store_true", help="int8-resident engine (activations stay int8 across the net; ResNet geometries)")
+    p.add_argument("--resident", action="store_true", help="int8-resident engine (activations stay int8 across the net; ResNet and AlexNet geometries)")
     p.add_argument("--autotune", action="store_true", help="per-layer backend autotune on the live device (resident engine)")
     p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
     p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
@@ -160,9 +160,12 @@ def main(argv=None):
 
     if args.convert_int:
         if args.resident:
-            from quantized_tpu.engine import build_int8_resident
+            from quantized_tpu.engine import build_int8_alexnet, build_int8_resident
 
-            model = build_int8_resident(model, weight_bits=args.weight_bits, backend=args.backend)
+            if "alexnet" in args.model:
+                model = build_int8_alexnet(model, weight_bits=args.weight_bits, backend=args.backend)
+            else:
+                model = build_int8_resident(model, weight_bits=args.weight_bits, backend=args.backend)
             trainer.model = model
             if args.autotune:
                 import jax.numpy as jnp

@@ -80,6 +80,13 @@ def main():
 
     results["int8-exact"] = top1(convert_to_int(fresh(), weight_bits=8), val.batches(BATCH))
     results["int8-resident"] = top1(build_int8_resident(fresh()), val.batches(BATCH))
+    # the production engine runs with autotuned backends (may include the
+    # bf16/bf16-split paths) — pin its accuracy too, not just the default
+    from quantized_tpu.engine import apply_cached_backends
+
+    tuned = build_int8_resident(fresh())
+    apply_cached_backends(tuned, jnp.zeros((BATCH, 32, 32, 3), jnp.float32))
+    results["int8-resident-tuned"] = top1(tuned, val.batches(BATCH))
     results["int4-w"] = top1(convert_to_int(fresh(), weight_bits=4), val.batches(BATCH))
 
     base = results["fake-quant"]

@@ -94,9 +94,10 @@ def _fold(conv_or_lin, bn) -> Tuple[np.ndarray, np.ndarray]:
     mean = np.asarray(bn.mean.get_value())
     var = np.asarray(bn.var.get_value())
     eps = float(bn.epsilon)
-    factor = gamma / np.sqrt(var + eps)
-    if np.any(factor <= 0):
-        logger.warning("non-positive BN factor; folding through pooling would be unsound")
+    # BN folding itself is exact for any factor sign; a non-positive factor
+    # only matters when the surrounding model pools BETWEEN the conv and the
+    # BN (AlexNet-OWT order) — convert_to_int warns for that case below, and
+    # build_int8_alexnet handles it exactly with per-channel min-pools.
     if cout_axis_last:
         return fold_bn_into_conv(w, b, gamma, beta, mean, var, eps)
     wt, bt = fold_bn_into_conv(w.T[None, None], b, gamma, beta, mean, var, eps)
@@ -194,6 +195,25 @@ def convert_to_int(
     """
     if weight_bits not in (4, 8):
         raise ValueError("weight_bits must be 4 or 8")
+    # AlexNet-OWT pools BETWEEN conv and BN; the module-surgery engine folds
+    # BN into the conv and therefore pools *after* it, which flips max to min
+    # for negative-gamma channels. Exact for the common all-positive case;
+    # the int8-resident builder (build_int8_alexnet) is exact for both signs.
+    from quantized_tpu.models.alexnet import AlexNetOWTBN
+
+    if isinstance(model, AlexNetOWTBN):
+        for bn_name in ("bn1", "bn2", "bn5"):
+            bn = getattr(model, bn_name, None)
+            if bn is not None and not isinstance(bn, Identity) and hasattr(bn, "scale"):
+                factor = np.asarray(bn.scale.get_value()) / np.sqrt(
+                    np.asarray(bn.var.get_value()) + float(bn.epsilon)
+                )
+                if np.any(factor < 0):
+                    logger.warning(
+                        "%s has negative-scale channels; folding it across the "
+                        "following maxpool is unsound here — use "
+                        "build_int8_alexnet for exact semantics", bn_name,
+                    )
     for _path, module in list(nnx.iter_modules(model)):
         for conv_name, bn_name in _PAIRS:
             target = getattr(module, conv_name, None)

@@ -277,3 +277,31 @@ class TestInt8AlexNet:
         y_f32 = np.asarray(eng(jnp.asarray(f32)))
         # both paths quantize onto the same stem grid; tiny f32 rounding only
         np.testing.assert_allclose(y_u8, y_f32, atol=1e-3, rtol=0)
+
+
+def test_engine_checkpoint_warm_start(rng, tmp_path):
+    """Serving warm-start (SURVEY.md section 5 checkpoint row): the built
+    engine's array state (packed weights + scale tables) round-trips through
+    the native Orbax checkpoint; a rebuilt skeleton restores bit-exactly."""
+    from quantized_tpu.models.layers import QuantMeasure
+    from quantized_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    def skeleton():
+        m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return build_int8_resident(m)
+
+    eng = skeleton()
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(eng(x))
+    save_checkpoint(eng, str(tmp_path), meta={"epoch": 3})
+
+    eng2 = skeleton()
+    eng2.fc.w_q.set_value(jnp.zeros_like(eng2.fc.w_q.get_value()))  # prove restore
+    meta = load_checkpoint(eng2, str(tmp_path))
+    assert int(meta["epoch"]) == 3
+    np.testing.assert_array_equal(np.asarray(eng2(x)), ref)

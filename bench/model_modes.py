@@ -29,11 +29,11 @@ FAMILY = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
 
 
 def build(mode):
-    if FAMILY == "alexnet":
+    if FAMILY in ("alexnet", "mobilenet"):
         if mode in ("fp32", "bf16"):
-            m = get_model("alexnet")(rngs=nnx.Rngs(0))
+            m = get_model(FAMILY)(rngs=nnx.Rngs(0))
         else:
-            m = _calibrated_model("alexnet_quantized")
+            m = _calibrated_model(f"{FAMILY}_quantized")
         m.eval()
     elif mode in ("fp32", "bf16"):
         m = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
@@ -44,7 +44,7 @@ def build(mode):
             nnx.update(m, jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, state))
         return m
-    q = m if FAMILY == "alexnet" else _calibrated_model(
+    q = m if FAMILY in ("alexnet", "mobilenet") else _calibrated_model(
         "resnet_quantized_float_bn", dataset="imagenet", depth=50)
     if mode == "fake-quant":
         return q
@@ -58,6 +58,10 @@ def build(mode):
             from quantized_tpu.engine import build_int8_alexnet
 
             eng = build_int8_alexnet(q, weight_bits=wb)
+        elif FAMILY == "mobilenet":
+            from quantized_tpu.engine import build_int8_mobilenet
+
+            eng = build_int8_mobilenet(q, weight_bits=wb)
         else:
             eng = build_int8_resident(q, weight_bits=wb)
         from quantized_tpu.engine import apply_cached_backends

@@ -160,10 +160,16 @@ def main(argv=None):
 
     if args.convert_int:
         if args.resident:
-            from quantized_tpu.engine import build_int8_alexnet, build_int8_resident
+            from quantized_tpu.engine import (
+                build_int8_alexnet,
+                build_int8_mobilenet,
+                build_int8_resident,
+            )
 
             if "alexnet" in args.model:
                 model = build_int8_alexnet(model, weight_bits=args.weight_bits, backend=args.backend)
+            elif "mobilenet" in args.model:
+                model = build_int8_mobilenet(model, weight_bits=args.weight_bits, backend=args.backend)
             else:
                 model = build_int8_resident(model, weight_bits=args.weight_bits, backend=args.backend)
             trainer.model = model

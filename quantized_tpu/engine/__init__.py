@@ -12,5 +12,6 @@ from quantized_tpu.engine.convert import convert_to_int
 from quantized_tpu.engine.int_layers import IntConv2d, IntLinear, Identity
 from quantized_tpu.engine.int8_resident import build_int8_resident, Int8ResNet
 from quantized_tpu.engine.int8_alexnet import build_int8_alexnet, Int8AlexNet
+from quantized_tpu.engine.int8_mobilenet import build_int8_mobilenet, Int8MobileNet
 from quantized_tpu.engine.autotune import autotune_resident, apply_cached_backends
 from quantized_tpu.engine.executor import IntExecutor

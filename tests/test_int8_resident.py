@@ -305,3 +305,36 @@ def test_engine_checkpoint_warm_start(rng, tmp_path):
     meta = load_checkpoint(eng2, str(tmp_path))
     assert int(meta["epoch"]) == 3
     np.testing.assert_array_equal(np.asarray(eng2(x)), ref)
+
+
+class TestInt8MobileNet:
+    """Int8-resident MobileNet-v1 (engine/int8_mobilenet.py): a pure
+    conv->BN->ReLU chain, so the resident form must be BIT-identical to the
+    f32-boundary exact engine (same quantize/dequantize compositions at every
+    layer boundary — no residuals or pools to reassociate)."""
+
+    @staticmethod
+    def _calibrated():
+        m = get_model("mobilenet_quantized")(rngs=nnx.Rngs(0))
+        m.train()
+        calib = nnx.jit(lambda mm, v: mm(v))
+        r = np.random.default_rng(1)
+        for _ in range(2):
+            calib(m, jnp.asarray(r.standard_normal((2, 224, 224, 3)), jnp.float32))
+        m.eval()
+        return m
+
+    def test_bit_exact_vs_exact_engine(self, rng):
+        from quantized_tpu.engine import build_int8_mobilenet
+
+        x = jnp.asarray(rng.standard_normal((4, 224, 224, 3)), jnp.float32)
+        ex = np.asarray(convert_to_int(self._calibrated())(x))
+        res = np.asarray(build_int8_mobilenet(self._calibrated())(x))
+        np.testing.assert_array_equal(res, ex)
+
+    def test_u8_ingest(self, rng):
+        from quantized_tpu.engine import build_int8_mobilenet
+
+        eng = build_int8_mobilenet(self._calibrated())
+        u8 = jnp.asarray(rng.integers(0, 256, (2, 224, 224, 3)), jnp.uint8)
+        assert eng.run_u8(u8).shape == (2, 1000)

@@ -23,9 +23,9 @@ from quantized_tpu.models import get_model
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 MODES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
     "fp32", "bf16", "int8-exact", "int8-resident", "int4w-resident"]
-# model family: resnet50 (default) or alexnet (BASELINE config #1; no
-# resident mode — AlexNet converts via the exact f32-boundary engine)
+# model family: resnet50 (default), resnet18, alexnet, mobilenet
 FAMILY = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
+RESNET_DEPTH = 18 if FAMILY == "resnet18" else 50
 
 
 def build(mode):
@@ -36,7 +36,7 @@ def build(mode):
             m = _calibrated_model(f"{FAMILY}_quantized")
         m.eval()
     elif mode in ("fp32", "bf16"):
-        m = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
+        m = get_model("resnet")(dataset="imagenet", depth=RESNET_DEPTH, rngs=nnx.Rngs(0))
         m.eval()
     if mode in ("fp32", "bf16"):
         if mode == "bf16":
@@ -45,7 +45,7 @@ def build(mode):
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, state))
         return m
     q = m if FAMILY in ("alexnet", "mobilenet") else _calibrated_model(
-        "resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        "resnet_quantized_float_bn", dataset="imagenet", depth=RESNET_DEPTH)
     if mode == "fake-quant":
         return q
     if mode == "int8-exact":

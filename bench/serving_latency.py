@@ -65,9 +65,13 @@ def main():
         print(f"{'conc':>5s} {'req/s':>9s} {'p50 ms':>8s} {'p95 ms':>8s} "
               f"{'p99 ms':>8s} {'occupancy':>9s}")
         for conc in CONCURRENCY:
+            # warm all buckets/jit paths and DRAIN before the clock starts —
+            # otherwise the warm requests queue ahead of the measured ones
+            # and pollute the first level's latency percentiles
+            for f in [batcher.submit(img) for _ in range(WARM_REQS)]:
+                f.result(timeout=300)
+            done0, padded0 = batcher.requests_done, batcher.padded_slots
             # closed loop: keep `conc` requests in flight
-            for _ in range(WARM_REQS):  # warm all buckets/jit paths
-                batcher.submit(img)
             lat: list = []
             inflight: list = []
             t_end = time.time() + MEASURE_SECS
@@ -82,11 +86,14 @@ def main():
                 n_done += 1
             dt = time.time() - t0
             lat_ms = np.sort(np.asarray(lat)) * 1e3
-            stats = batcher.stats()
+            # per-level occupancy from counter deltas (stats() is cumulative)
+            d_done = batcher.requests_done - done0
+            d_pad = batcher.padded_slots - padded0
+            occ = d_done / max(d_done + d_pad, 1)
             print(
                 f"{conc:>5d} {n_done/dt:>9.1f} {np.percentile(lat_ms,50):>8.1f} "
                 f"{np.percentile(lat_ms,95):>8.1f} {np.percentile(lat_ms,99):>8.1f} "
-                f"{stats.get('occupancy', float('nan')):>9.2f}",
+                f"{occ:>9.2f}",
                 flush=True,
             )
     finally:

@@ -14,9 +14,12 @@ ResNet blocks/stems conv1..3/bn1..3, Downsample conv/bn, AlexNet conv1..5/
 bn1..5 + fc1/bnf1 + fc2/bnf2, MobileNet dw/bn1 + pw/bn2.
 
 AlexNet caveat: its blocks pool *between* conv and BN; a per-channel affine
-commutes with maxpool only for positive factors, so folding asserts
-``factor > 0`` (true for trained BN in practice) and falls back to unfolded
-(bias-only) conversion otherwise.
+commutes with maxpool only for positive factors. Folding itself is exact for
+any sign (the sign moves into the quantized weights) — what breaks is this
+module's pool-after-fold ORDER for negative-factor channels. convert_to_int
+warns when that case is detected; ``build_int8_alexnet``
+(engine/int8_alexnet.py) handles both signs exactly via per-channel
+max/min-pool selection and is the recommended path.
 """
 
 from __future__ import annotations
@@ -57,6 +60,24 @@ def _observer_qparams(q_module):
     obs = q_module.quantize_input
     return activation_qparams_from_observer(
         float(obs.running_min.get_value()[0]), float(obs.running_max.get_value()[0])
+    )
+
+
+def observer_grid(q_module) -> Tuple[float, int]:
+    """(scale, zero_point) of the uint8 grid derived from a QConv2d/QLinear's
+    frozen observer — the single source of the observer->grid rule (shared by
+    the resident engine builders)."""
+    qp = _observer_qparams(q_module)
+    return (qp.scale, qp.zero_point)
+
+
+def bn_factor(bn) -> np.ndarray:
+    """Per-channel folded BN factor gamma/sqrt(var+eps) (nnx.BatchNorm). Its
+    sign decides max-vs-min pool commutation for pool-before-BN architectures
+    (AlexNet) — shared by convert_to_int's warning and build_int8_alexnet's
+    min-pool channel masks."""
+    return np.asarray(bn.scale.get_value()) / np.sqrt(
+        np.asarray(bn.var.get_value()) + float(bn.epsilon)
     )
 
 
@@ -205,10 +226,7 @@ def convert_to_int(
         for bn_name in ("bn1", "bn2", "bn5"):
             bn = getattr(model, bn_name, None)
             if bn is not None and not isinstance(bn, Identity) and hasattr(bn, "scale"):
-                factor = np.asarray(bn.scale.get_value()) / np.sqrt(
-                    np.asarray(bn.var.get_value()) + float(bn.epsilon)
-                )
-                if np.any(factor < 0):
+                if np.any(bn_factor(bn) < 0):
                     logger.warning(
                         "%s has negative-scale channels; folding it across the "
                         "following maxpool is unsound here — use "

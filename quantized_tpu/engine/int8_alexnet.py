@@ -7,16 +7,19 @@ this architecture: the reference order is ``conv -> maxpool -> BN -> ReLU``
 (pool BEFORE the BN that gets folded into the conv epilogue). Folding moves
 the per-channel affine ``bn`` to the other side of the pool, which is exact
 iff the composed per-channel map ``requant ∘ relu ∘ bn`` is monotone
-NON-DECREASING — true exactly when the folded channel scale alpha >= 0. For
-channels with alpha < 0 the composition is non-increasing, so
-``h(max(x)) == min(h(x))``: those channels need a MIN-pool of the epilogue
-output instead. The builder records the negative-alpha channel mask per
-pooled conv at conversion time; when no negative channels exist (the common
-trained-network case) the fast single-maxpool path compiles with no select.
+NON-DECREASING — true exactly when the BN factor gamma/sqrt(var+eps) >= 0.
+(Note: the epilogue's own alpha is always positive; the factor's sign moves
+into the quantized weights, so the mask is read off the BN module —
+``convert.bn_factor``.) For negative-factor channels the composition is
+non-increasing, so ``h(max(x)) == min(h(x))``: those channels need a
+MIN-pool of the epilogue output instead. The builder records that channel
+mask per pooled conv at conversion time; when no negative channels exist
+(the common trained-network case) the fast single-maxpool path compiles
+with no select.
 
 (The f32-boundary exact engine, convert_to_int, folds BN across the pool
-unconditionally and is thus exact only for alpha >= 0 — this module is the
-semantically complete path.)
+unconditionally and is thus exact only for non-negative factors — this
+module is the semantically complete path.)
 """
 
 from __future__ import annotations
@@ -82,12 +85,9 @@ class Int8AlexNet(nnx.Module):
     def run_u8(self, u8: jax.Array, mean=None, std=None) -> jax.Array:
         """Raw uint8 NHWC ingest with normalize folded into the quantize
         (same contract as Int8ResNet.run_u8)."""
-        from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
-        from quantized_tpu.engine.int8_resident import quantize_u8_stored
+        from quantized_tpu.engine.int8_resident import u8_to_stored
 
-        mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
-        return self._forward_q(quantize_u8_stored(u8, self.conv1.grid, mean, std))
+        return self._forward_q(u8_to_stored(u8, self.conv1.grid, mean, std))
 
     def _forward_q(self, x_q: jax.Array) -> jax.Array:
         g = self.requant_grids
@@ -106,13 +106,9 @@ class Int8AlexNet(nnx.Module):
 
 
 def _grid_of(q) -> Grid:
-    from quantized_tpu.ingest.calibrate import activation_qparams_from_observer
+    from quantized_tpu.engine.convert import observer_grid
 
-    obs = q.quantize_input
-    qp = activation_qparams_from_observer(
-        float(obs.running_min.get_value()[0]), float(obs.running_max.get_value()[0])
-    )
-    return (qp.scale, qp.zero_point)
+    return observer_grid(q)
 
 
 def build_int8_alexnet(model: nnx.Module, weight_bits: int = 8,
@@ -152,9 +148,9 @@ def build_int8_alexnet(model: nnx.Module, weight_bits: int = 8,
     # the mask must be read off the BN module itself. Staticized to None
     # when empty so the fast path compiles with no select.
     def neg_mask(bn) -> Optional[jax.Array]:
-        factor = np.asarray(bn.scale.get_value()) / np.sqrt(
-            np.asarray(bn.var.get_value()) + float(bn.epsilon)
-        )
+        from quantized_tpu.engine.convert import bn_factor
+
+        factor = bn_factor(bn)
         return jnp.asarray(factor < 0) if (factor < 0).any() else None
 
     neg_masks = [neg_mask(model.bn1), neg_mask(model.bn2), neg_mask(model.bn5)]

@@ -42,12 +42,9 @@ class Int8MobileNet(nnx.Module):
         return self._forward_q(quantize_input_stored(x, *self.conv0.grid))
 
     def run_u8(self, u8: jax.Array, mean=None, std=None) -> jax.Array:
-        from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
-        from quantized_tpu.engine.int8_resident import quantize_u8_stored
+        from quantized_tpu.engine.int8_resident import u8_to_stored
 
-        mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
-        return self._forward_q(quantize_u8_stored(u8, self.conv0.grid, mean, std))
+        return self._forward_q(u8_to_stored(u8, self.conv0.grid, mean, std))
 
     def _forward_q(self, x_q: jax.Array) -> jax.Array:
         h = x_q
@@ -60,13 +57,9 @@ class Int8MobileNet(nnx.Module):
 
 
 def _grid_of(q) -> Grid:
-    from quantized_tpu.ingest.calibrate import activation_qparams_from_observer
+    from quantized_tpu.engine.convert import observer_grid
 
-    obs = q.quantize_input
-    qp = activation_qparams_from_observer(
-        float(obs.running_min.get_value()[0]), float(obs.running_max.get_value()[0])
-    )
-    return (qp.scale, qp.zero_point)
+    return observer_grid(q)
 
 
 def build_int8_mobilenet(model: nnx.Module, weight_bits: int = 8,

@@ -314,6 +314,16 @@ def quantize_u8_stored(
     return jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
 
 
+def u8_to_stored(u8: jax.Array, grid: Grid, mean=None, std=None) -> jax.Array:
+    """uint8 images -> stored int8 on ``grid`` with default ImageNet stats —
+    the shared body of every resident engine's ``run_u8``."""
+    from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
+    return quantize_u8_stored(u8, grid, mean, std)
+
+
 class Int8ResNet(nnx.Module):
     """Int8-resident ResNet (both geometries). Built via
     :func:`build_int8_resident`; forward takes f32 NHWC images and returns
@@ -339,11 +349,7 @@ class Int8ResNet(nnx.Module):
         """Forward from raw uint8 NHWC images (values 0..255); ``mean``/
         ``std`` are the preprocessing stats the calibration observers saw
         (default: the reference ImageNet stats)."""
-        from quantized_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
-
-        mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
-        return self._forward_q(quantize_u8_stored(u8, self.stem.grid, mean, std))
+        return self._forward_q(u8_to_stored(u8, self.stem.grid, mean, std))
 
     def _forward_q(self, x_q: jax.Array) -> jax.Array:
         x_q = self.stem.run_q(x_q, relu=True, out_requant=self.stem_out_grid)
@@ -432,10 +438,6 @@ def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
 
 
 def _grid_of_qconv(qconv: QConv2d) -> Grid:
-    obs = qconv.quantize_input
-    from quantized_tpu.ingest.calibrate import activation_qparams_from_observer
+    from quantized_tpu.engine.convert import observer_grid
 
-    qp = activation_qparams_from_observer(
-        float(obs.running_min.get_value()[0]), float(obs.running_max.get_value()[0])
-    )
-    return (qp.scale, qp.zero_point)
+    return observer_grid(qconv)

@@ -102,6 +102,11 @@ class IntConv2d(nnx.Module):
         self.backend = backend
         # int4 weight-only: w_q holds packed nibbles, int4_shape the HWIO shape
         self.int4_shape = int4_shape
+        if backend.startswith("bf16"):
+            # materialize the dequantized bf16 weight copy now — constructing
+            # with a bf16 backend (CLI --resident --backend bf16) must not
+            # defer to a set_backend() call that may never happen
+            self.set_backend(backend)
 
     def weights(self) -> jax.Array:
         """HWIO int8 kernel (unpacks packed int4 storage on the fly — one

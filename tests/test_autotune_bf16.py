@@ -124,3 +124,18 @@ def test_split_backends_match_fused(rng):
             if isinstance(m, IntConv2d):
                 m.set_backend(backend)
     np.testing.assert_array_equal(np.asarray(bfs_model(x)), np.asarray(bf_model(x)))
+
+
+def test_bf16_backend_at_construction(rng):
+    """CLI --resident --backend bf16 constructs IntConv2d with backend='bf16'
+    directly; the dequantized weight copy must materialize in __init__
+    (regression: it was only created in set_backend, crashing first forward)."""
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    model = build_int8_resident(_calibrated(), backend="bf16")
+    out = model(x)
+    assert out.shape == (2, 10)
+    ref = build_int8_resident(_calibrated())
+    for _, m in nnx.iter_modules(ref):
+        if isinstance(m, IntConv2d):
+            m.set_backend("bf16")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref(x)))

@@ -88,3 +88,34 @@ def test_int8_alexnet_sharded_matches_single_device(rng):
 
     got = np.asarray(fwd(state, xs))
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=0)
+
+
+def test_int8_mobilenet_sharded_matches_single_device(rng):
+    """Int8MobileNet under DP/TP — includes grouped/depthwise kernels
+    ((3,3,1,C) HWIO shards its out-channel axis; GSPMD handles the grouped
+    conv partitioning)."""
+    from quantized_tpu.engine import build_int8_mobilenet
+
+    def calibrated():
+        m = get_model("mobilenet_quantized")(rngs=nnx.Rngs(0))
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return m
+
+    x = jnp.asarray(rng.standard_normal((8, 224, 224, 3)), jnp.float32)
+    ref = np.asarray(build_int8_mobilenet(calibrated())(x))
+
+    mesh = create_mesh(num_devices=8)
+    model = build_int8_mobilenet(calibrated())
+    graphdef, state = nnx.split(model)
+    state = shard_int_engine_state(state, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None, None, None)))
+
+    @jax.jit
+    def fwd(s, v):
+        return nnx.merge(graphdef, s)(v)
+
+    np.testing.assert_array_equal(np.asarray(fwd(state, xs)), ref)

@@ -73,6 +73,10 @@ def state_dict_to_nnx(
     def module_path(parts):
         return tuple(parts)
 
+    # NCHW-flatten boundary (AlexNet fc1): the reference flattens conv maps
+    # as (C,H,W), this zoo flattens NHWC — permute those weight columns
+    flatten_name, flatten_chw = getattr(model, "flatten_linear", (None, None))
+
     out: Dict[Tuple, np.ndarray] = {}
     for key, arr in state_dict.items():
         parts = key.split(".")
@@ -81,6 +85,13 @@ def state_dict_to_nnx(
         parts = ["bn" if (p == "1" and parts[i - 1] == "downsample") else p for i, p in enumerate(parts)]
         leaf = parts[-1]
         prefix = parts[:-1]
+        if (
+            leaf == "weight" and arr.ndim == 2 and prefix
+            and prefix[-1] == flatten_name
+            and arr.shape[1] == int(np.prod(flatten_chw))
+        ):
+            c, h, w = flatten_chw
+            arr = arr.reshape(arr.shape[0], c, h, w).transpose(0, 2, 3, 1).reshape(arr.shape[0], -1)
 
         candidates = []
         if arr.ndim == 4 and leaf == "weight":

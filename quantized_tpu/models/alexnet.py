@@ -54,6 +54,10 @@ class AlexNetOWTBN(nnx.Module):
         self.bn4 = bn(256)
         self.conv5 = conv(256, 256, 3, stride=1, padding=1, use_bias=False, rngs=rngs)
         self.bn5 = bn(256)
+        # checkpoint-interop marker: fc1's input is a flattened conv map —
+        # the reference flattens NCHW (torch), this model flattens NHWC, so
+        # ingest/export must permute fc1's weight columns (C,H,W) <-> (H,W,C)
+        self.flatten_linear = ("fc1", (256, 6, 6))
         self.fc1 = linear(256 * 6 * 6, 4096, use_bias=False, rngs=rngs)
         self.bnf1 = bn(4096)
         self.fc2 = linear(4096, 4096, use_bias=False, rngs=rngs)

@@ -111,6 +111,9 @@ def export_reference_checkpoint(model: nnx.Module, path: str, meta: Optional[Dic
     import torch
 
     flat = nnx.to_flat_state(nnx.state(model))
+    # inverse of ingest's NCHW-flatten permutation (AlexNet fc1 — see
+    # torch_loader.state_dict_to_nnx)
+    flatten_name, flatten_chw = getattr(model, "flatten_linear", (None, None))
     state_dict = {}
     for p, var in flat:
         parts = [str(x) for x in p]
@@ -122,6 +125,13 @@ def export_reference_checkpoint(model: nnx.Module, path: str, meta: Optional[Dic
         prefix = parts[:-1]
         prefix = ["0" if (x == "conv" and i > 0 and prefix[i - 1] == "downsample") else x for i, x in enumerate(prefix)]
         prefix = ["1" if (x == "bn" and i > 0 and prefix[i - 1] == "downsample") else x for i, x in enumerate(prefix)]
+        if (
+            leaf == "weight" and val.ndim == 2 and prefix
+            and prefix[-1] == flatten_name
+            and val.shape[1] == int(np.prod(flatten_chw))
+        ):
+            c, h, w = flatten_chw
+            val = val.reshape(val.shape[0], h, w, c).transpose(0, 3, 1, 2).reshape(val.shape[0], -1)
         if leaf == "kernel":
             state_dict[".".join(prefix + ["weight"])] = torch.from_numpy(val.transpose(3, 2, 0, 1).copy())
         elif leaf in ("scale", "mean", "var") and val.ndim == 1:

@@ -179,3 +179,76 @@ def test_weight_qparams_per_channel(rng):
     err = np.abs(qp.dequantize(q) - w)
     # per-channel bound: scale_c / 2
     assert np.all(err <= qp.scale[None, None, None, :] / 2 + 1e-7)
+
+
+def test_alexnet_export_matches_torch_reference_semantics(tmp_path):
+    """Cross-framework oracle for the AlexNet layout conversions: export our
+    NHWC model to a reference-format .pth.tar, load it into a torch
+    re-statement of reference models/alexnet.py (NCHW, conv->pool->BN->ReLU,
+    NCHW flatten), and require the two forwards to agree. This pins the
+    OIHW<->HWIO conv transpose, the BN name mapping, AND the fc1
+    (C,H,W)<->(H,W,C) flatten permutation semantically."""
+    import torch
+    import torch.nn.functional as TF
+    from flax import nnx
+
+    from quantized_tpu.models import get_model
+    from quantized_tpu.utils.checkpoint import export_reference_checkpoint
+
+    model = get_model("alexnet")(num_classes=10, rngs=nnx.Rngs(3))
+    model.eval()
+    # give BN stats non-trivial values so the mapping is actually exercised
+    rng = np.random.default_rng(0)
+    for _, mod in nnx.iter_modules(model):
+        if isinstance(mod, nnx.BatchNorm):
+            n = mod.mean.get_value().shape[0]
+            mod.mean.set_value(jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32))
+            mod.var.set_value(jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32))
+
+    path = str(tmp_path / "alexnet_ref.pth.tar")
+    export_reference_checkpoint(model, path, {"model": "alexnet"})
+    sd = torch.load(path, weights_only=False)["state_dict"]
+
+    class TorchRefAlexNet(torch.nn.Module):
+        """Reference models/alexnet.py semantics (eval mode)."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 64, 11, 4, 2, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.conv2 = torch.nn.Conv2d(64, 192, 5, 1, 2, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(192)
+            self.conv3 = torch.nn.Conv2d(192, 384, 3, 1, 1, bias=False)
+            self.bn3 = torch.nn.BatchNorm2d(384)
+            self.conv4 = torch.nn.Conv2d(384, 256, 3, 1, 1, bias=False)
+            self.bn4 = torch.nn.BatchNorm2d(256)
+            self.conv5 = torch.nn.Conv2d(256, 256, 3, 1, 1, bias=False)
+            self.bn5 = torch.nn.BatchNorm2d(256)
+            self.fc1 = torch.nn.Linear(256 * 6 * 6, 4096, bias=False)
+            self.bnf1 = torch.nn.BatchNorm1d(4096)
+            self.fc2 = torch.nn.Linear(4096, 4096, bias=False)
+            self.bnf2 = torch.nn.BatchNorm1d(4096)
+            self.fc3 = torch.nn.Linear(4096, 10)
+
+        def forward(self, x):
+            pool = lambda v: TF.max_pool2d(v, 3, 2)
+            x = TF.relu(self.bn1(pool(self.conv1(x))))
+            x = TF.relu(self.bn2(pool(self.conv2(x))))
+            x = TF.relu(self.bn3(self.conv3(x)))
+            x = TF.relu(self.bn4(self.conv4(x)))
+            x = TF.relu(self.bn5(pool(self.conv5(x))))
+            x = x.reshape(x.size(0), -1)  # NCHW flatten (reference order)
+            x = TF.relu(self.bnf1(self.fc1(x)))
+            x = TF.relu(self.bnf2(self.fc2(x)))
+            return self.fc3(x)
+
+    tm = TorchRefAlexNet().eval()
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing
+
+    x = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    ours = np.asarray(model(jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)

@@ -17,6 +17,9 @@ class MnistNet(nnx.Module):
     def __init__(self, num_classes=10, *, rngs):
         self.conv1 = layers.Conv2d(1, 10, 5, rngs=rngs)
         self.conv2 = layers.Conv2d(10, 20, 5, rngs=rngs)
+        # fc1 consumes a flattened conv map: reference flattens NCHW, this
+        # model NHWC — ingest/export permute its columns (see torch_loader)
+        self.flatten_linear = ("fc1", (20, 4, 4))
         self.fc1 = layers.Linear(320, 50, rngs=rngs)
         self.fc2 = layers.Linear(50, num_classes, rngs=rngs)
         self.dropout = nnx.Dropout(0.5, rngs=rngs)

@@ -252,3 +252,42 @@ def test_alexnet_export_matches_torch_reference_semantics(tmp_path):
     with torch.no_grad():
         theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_mnist_export_matches_torch_reference_semantics(tmp_path):
+    """Same cross-framework oracle for the MNIST toy net (conv->pool x2 ->
+    NCHW flatten -> fc): pins its flatten_linear permutation."""
+    import torch
+    import torch.nn.functional as TF
+    from flax import nnx
+
+    from quantized_tpu.models import get_model
+    from quantized_tpu.utils.checkpoint import export_reference_checkpoint
+
+    m = get_model("mnist")(rngs=nnx.Rngs(1))
+    m.eval()
+    path = str(tmp_path / "mnist.pth.tar")
+    export_reference_checkpoint(m, path, {})
+    sd = torch.load(path, weights_only=False)["state_dict"]
+
+    class TorchRefMnist(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(1, 10, 5)
+            self.conv2 = torch.nn.Conv2d(10, 20, 5)
+            self.fc1 = torch.nn.Linear(320, 50)
+            self.fc2 = torch.nn.Linear(50, 10)
+
+        def forward(self, x):
+            x = TF.relu(TF.max_pool2d(self.conv1(x), 2))
+            x = TF.relu(TF.max_pool2d(self.conv2(x), 2))
+            x = x.reshape(x.size(0), -1)
+            return self.fc2(TF.relu(self.fc1(x)))
+
+    tm = TorchRefMnist().eval()
+    tm.load_state_dict(sd)
+    x = np.random.default_rng(0).standard_normal((2, 28, 28, 1)).astype(np.float32)
+    ours = np.asarray(m(jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)

@@ -291,3 +291,74 @@ def test_mnist_export_matches_torch_reference_semantics(tmp_path):
     with torch.no_grad():
         theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+def test_resnet_cifar_export_matches_torch_reference_semantics(tmp_path):
+    """Cross-framework oracle for the ResNet CIFAR geometry: export our
+    depth-20 model, load into a torch re-statement of reference
+    ResNet_cifar10 (incl. downsample Sequential index mapping), compare
+    forwards."""
+    import torch
+    import torch.nn.functional as TF
+    from flax import nnx
+
+    from quantized_tpu.models import get_model
+    from quantized_tpu.utils.checkpoint import export_reference_checkpoint
+
+    model = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(5))
+    model.eval()
+    rng = np.random.default_rng(0)
+    for _, mod in nnx.iter_modules(model):
+        if isinstance(mod, nnx.BatchNorm):
+            n = mod.mean.get_value().shape[0]
+            mod.mean.set_value(jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32))
+            mod.var.set_value(jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32))
+    path = str(tmp_path / "r20.pth.tar")
+    export_reference_checkpoint(model, path, {})
+    sd = torch.load(path, weights_only=False)["state_dict"]
+
+    class TBlock(torch.nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(cout)
+            self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = torch.nn.Sequential(
+                    torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    torch.nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            res = x if self.downsample is None else self.downsample(x)
+            out = TF.relu(self.bn1(self.conv1(x)))
+            return TF.relu(self.bn2(self.conv2(out)) + res)
+
+    class TResNet20(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 16, 3, 1, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(16)
+            self.layer1 = torch.nn.Sequential(*[TBlock(16, 16, 1) for _ in range(3)])
+            self.layer2 = torch.nn.Sequential(TBlock(16, 32, 2), TBlock(32, 32, 1), TBlock(32, 32, 1))
+            self.layer3 = torch.nn.Sequential(TBlock(32, 64, 2), TBlock(64, 64, 1), TBlock(64, 64, 1))
+            self.fc = torch.nn.Linear(64, 10)
+
+        def forward(self, x):
+            x = TF.relu(self.bn1(self.conv1(x)))
+            x = self.layer3(self.layer2(self.layer1(x)))
+            x = x.mean(dim=(2, 3))
+            return self.fc(x)
+
+    tm = TResNet20().eval()
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(model(jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)

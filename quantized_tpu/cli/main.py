@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--profile", default="", metavar="DIR", help="write an XProf/TensorBoard trace of the eval to DIR")
+    p.add_argument("--debug-nans", action="store_true", help="jax_debug_nans: re-run any op producing NaN un-jitted and raise with its location (SURVEY.md section 5 sanitizer mode)")
+    p.add_argument("--deterministic", action="store_true", help="bit-reproducible runs: XLA deterministic ops, partitionable threefry PRNG, and single-threaded data loading")
     return p
 
 
@@ -77,6 +79,15 @@ def main(argv=None):
     dtype = _apply_type(args.type)
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.deterministic:
+        # TPU XLA kernels are deterministic for this op set; reproducibility
+        # hinges on (a) a sharding-invariant PRNG and (b) host-side batch
+        # order, which multi-worker loading would make race-dependent.
+        jax.config.update("jax_threefry_partitionable", True)
+        args.workers = 0
     import numpy as np
     from flax import nnx
 

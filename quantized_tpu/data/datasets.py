@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
+import zlib
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -106,9 +107,11 @@ def _synthetic(name: str, split: str, transform) -> ArrayDataset:
     h, w, c, classes = _GEOMETRY.get(name, _GEOMETRY["synthetic"])
     n = 1024 if split == "train" else 512
     # class-defining signatures must be identical across splits (seeded by
-    # dataset name only); sample noise is per-split
-    class_rng = np.random.default_rng(abs(hash(name)) % (2**31))
-    rng = np.random.default_rng(abs(hash((name, split))) % (2**31))
+    # dataset name only); sample noise is per-split. Seeds come from crc32,
+    # not hash(): str hashing is salted per process, which would make the
+    # stand-in data differ between runs (breaks --deterministic).
+    class_rng = np.random.default_rng(zlib.crc32(name.encode()))
+    rng = np.random.default_rng(zlib.crc32(f"{name}/{split}".encode()))
     labels = rng.integers(0, classes, n)
     # class-dependent means + per-class spatial gradient so accuracy > chance
     # is genuinely learnable (verified: a depth-20 resnet generalizes on this)

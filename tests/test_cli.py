@@ -103,3 +103,49 @@ def test_cli_serve_smoke(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_deterministic_reruns_bitmatch(tmp_path):
+    """--deterministic: two identical train+eval runs produce identical
+    metric rows (SURVEY.md section 5 deterministic-mode flag)."""
+    csvs = []
+    for name in ("det_a", "det_b"):
+        rc = main(
+            [
+                "--type", "cpu.float",
+                "--model", "mnist",
+                "--dataset", "mnist",
+                "-b", "32",
+                "--epochs", "1",
+                "--results_dir", str(tmp_path),
+                "--save", name,
+                "--deterministic",
+                "--seed", "7",
+            ]
+        )
+        assert rc == 0
+        with open(os.path.join(tmp_path, name, "results.csv")) as f:
+            csvs.append(f.read())
+    assert csvs[0] == csvs[1]
+
+
+def test_cli_debug_nans_flag(tmp_path):
+    """--debug-nans: clean eval still passes with the sanitizer armed."""
+    import jax
+
+    try:
+        rc = main(
+            [
+                "--type", "cpu.float",
+                "--model", "mnist",
+                "--dataset", "mnist",
+                "-b", "32",
+                "--results_dir", str(tmp_path),
+                "--save", "nanrun",
+                "--debug-nans",
+                "-e",
+            ]
+        )
+        assert rc == 0
+    finally:
+        jax.config.update("jax_debug_nans", False)

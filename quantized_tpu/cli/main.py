@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--convert-int", action="store_true", help="convert to true-integer execution before eval/serve")
     p.add_argument("--weight-bits", type=int, default=8, choices=[4, 8])
     p.add_argument("--backend", default="xla", choices=["xla", "gemm", "pallas", "bf16"], help="int conv backend")
+    p.add_argument("--weight-quant", default="per_channel", choices=["per_channel", "per_tensor"],
+                   help="per_channel: production grid (symmetric, BN folded); per_tensor: "
+                        "strict-parity mode — the reference's own affine weight grid, BN unfolded "
+                        "(exact twin of fake-quant eval)")
     p.add_argument("--resident", action="store_true", help="int8-resident engine (activations stay int8 across the net; ResNet and AlexNet geometries)")
     p.add_argument("--autotune", action="store_true", help="per-layer backend autotune on the live device (resident engine)")
     p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
@@ -197,8 +201,10 @@ def main(argv=None):
         else:
             from quantized_tpu.engine import convert_to_int
 
-            convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend)
-            logger.info("converted to int%d execution (backend=%s)", args.weight_bits, args.backend)
+            convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend,
+                           weight_quant=args.weight_quant)
+            logger.info("converted to int%d execution (backend=%s, weight_quant=%s)",
+                        args.weight_bits, args.backend, args.weight_quant)
 
     if args.serve:
         from quantized_tpu.engine.server import serve

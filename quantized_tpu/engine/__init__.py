@@ -9,6 +9,11 @@ input, s8 x s8 -> s32 MXU matmuls with fused dequant+bias+ReLU epilogues
 """
 
 from quantized_tpu.engine.convert import convert_to_int
+from quantized_tpu.engine.strict import (
+    StrictIntConv2d,
+    StrictIntLinear,
+    convert_to_int_strict,
+)
 from quantized_tpu.engine.int_layers import IntConv2d, IntLinear, Identity
 from quantized_tpu.engine.int8_resident import build_int8_resident, Int8ResNet
 from quantized_tpu.engine.int8_alexnet import build_int8_alexnet, Int8AlexNet

@@ -33,7 +33,7 @@ from flax import nnx
 
 from quantized_tpu.engine.int_layers import Identity, IntConv2d, IntLinear
 from quantized_tpu.ingest.bn_fold import fold_bn_into_conv, fold_rangebn_into_conv
-from quantized_tpu.ingest.calibrate import activation_qparams_from_observer
+from quantized_tpu.ingest.calibrate import ActQParams, activation_qparams_from_observer
 from quantized_tpu.models.layers import QConv2d, QLinear, RangeBN
 from quantized_tpu.ops.int4 import pack_int4
 from quantized_tpu.ops.int8_matmul import matmul_epilogue_params
@@ -144,9 +144,7 @@ def _convert_conv(
     block's downsample conv the conv1-quantized tensor directly, with no
     regrid pass and no double quantization."""
     if act_grid is not None:
-        class _QP:  # matches activation_qparams_from_observer's interface
-            scale, zero_point = float(act_grid[0]), int(act_grid[1])
-        qp = _QP
+        qp = ActQParams(scale=float(act_grid[0]), zero_point=int(act_grid[1]))
     else:
         qp = _observer_qparams(conv)
     w_f, b_f = _fold(conv, bn)
@@ -206,6 +204,7 @@ def convert_to_int(
     backend: str = "xla",
     int4_pack_linear: bool = True,
     int4_pack_conv: bool = True,
+    weight_quant: str = "per_channel",
 ) -> nnx.Module:
     """In-place conversion; returns the (mutated) model.
 
@@ -213,7 +212,18 @@ def convert_to_int(
     backend: 'xla' | 'gemm' (Pallas im2col) | 'pallas' (direct) for convs.
     int4_pack_*: at weight_bits=4, store two nibbles per byte (HBM halving);
     kernels unpack in the weight-read pass.
+    weight_quant: 'per_channel' (production: symmetric per-out-channel grid,
+    BN folded) or 'per_tensor' (strict-parity mode: the reference's own
+    per-tensor affine weight grid, BN left unfolded — the exact twin of
+    fake-quant eval; see engine/strict.py). Strict mode uses each module's
+    own num_bits_weight and ignores weight_bits/backend.
     """
+    if weight_quant == "per_tensor":
+        from quantized_tpu.engine.strict import convert_to_int_strict
+
+        return convert_to_int_strict(model)
+    if weight_quant != "per_channel":
+        raise ValueError("weight_quant must be 'per_channel' or 'per_tensor'")
     if weight_bits not in (4, 8):
         raise ValueError("weight_bits must be 4 or 8")
     # AlexNet-OWT pools BETWEEN conv and BN; the module-surgery engine folds

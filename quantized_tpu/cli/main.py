@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--resume", default="", help="native checkpoint dir or reference .pth.tar")
+    p.add_argument("--save_all", action="store_true", help="keep a per-epoch checkpoint copy (reference utils.py save_checkpoint save_all)")
+    p.add_argument("--sync-checkpoints", action="store_true", help="block on each checkpoint write instead of the default async (Orbax background) saves")
     p.add_argument("-e", "--evaluate", action="store_true")
     # --- engine extensions ---
     p.add_argument("--calibrate", type=int, default=0, metavar="N", help="run N calibration batches (observers update, no grads)")
@@ -252,6 +254,8 @@ def main(argv=None):
                 "regime": {str(k): v2 for k, v2 in (regime or {}).items()},
             },
             is_best=is_best,
+            save_all=args.save_all,
+            async_save=not args.sync_checkpoints,
         )
         results.add(
             epoch=epoch,
@@ -266,6 +270,9 @@ def main(argv=None):
         logger.info(
             "epoch %d: train top1 %.2f val top1 %.2f (best %.2f)", epoch, t["top1"], v["top1"], best_prec1
         )
+    from quantized_tpu.utils.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # drain the last async save before exit
     return 0
 
 

@@ -7,5 +7,6 @@ from quantized_tpu.utils.profiling import trace, start_server, annotate
 from quantized_tpu.utils.checkpoint import (
     save_checkpoint,
     load_checkpoint,
+    wait_for_checkpoints,
     export_reference_checkpoint,
 )

@@ -33,6 +33,22 @@ def _flat_numpy_state(model: nnx.Module) -> Dict[str, np.ndarray]:
     return out
 
 
+# In-flight async saves: (AsyncCheckpointer, post-save callable) pairs.
+_PENDING: list = []
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save is durable and its post-save
+    copies (``model_best`` / per-epoch) have run. Call at end of training
+    (the epoch loop itself pipelines one save deep — see save_checkpoint)."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for ckptr, post in pending:
+        ckptr.wait_until_finished()
+        post()
+        ckptr.close()
+
+
 def save_checkpoint(
     model: nnx.Module,
     path: str,
@@ -40,30 +56,47 @@ def save_checkpoint(
     is_best: bool = False,
     filename: str = "checkpoint",
     save_all: bool = False,
+    async_save: bool = False,
 ) -> str:
     """Save model + metadata under ``path/filename``; copy to ``model_best``
-    on best; optional per-epoch copy (reference semantics)."""
+    on best; optional per-epoch copy (reference semantics, SURVEY.md #17).
+
+    ``async_save=True`` uses Orbax's AsyncCheckpointer (SURVEY.md section 5
+    checkpoint row): the device->host copy happens here, the disk write in a
+    background thread. The pipeline is one save deep — the next
+    save_checkpoint (or wait_for_checkpoints) drains the previous one, so an
+    epoch's write overlaps the next epoch's compute."""
     os.makedirs(path, exist_ok=True)
     target = os.path.join(path, filename)
     flat = _flat_numpy_state(model)
+    wait_for_checkpoints()
+    with open(target + ".meta.json", "w") as f:
+        json.dump({k: _jsonable(v) for k, v in (meta or {}).items()}, f)
+
+    def _post(saved: str) -> None:
+        if is_best:
+            _copy_ckpt(saved, target, os.path.join(path, "model_best"))
+        if save_all and meta and "epoch" in meta:
+            _copy_ckpt(saved, target, os.path.join(path, f"checkpoint_epoch_{meta['epoch']}"))
+
     try:
         import orbax.checkpoint as ocp
 
         ckpt_dir = os.path.abspath(target + ".orbax")
         if os.path.exists(ckpt_dir):
             shutil.rmtree(ckpt_dir)
+        if async_save:
+            ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            ckptr.save(ckpt_dir, flat)
+            _PENDING.append((ckptr, lambda: _post(ckpt_dir)))
+            return ckpt_dir
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(ckpt_dir, flat)
         saved = ckpt_dir
     except Exception:
         np.savez(target + ".npz", **flat)
         saved = target + ".npz"
-    with open(target + ".meta.json", "w") as f:
-        json.dump({k: _jsonable(v) for k, v in (meta or {}).items()}, f)
-    if is_best:
-        _copy_ckpt(saved, target, os.path.join(path, "model_best"))
-    if save_all and meta and "epoch" in meta:
-        _copy_ckpt(saved, target, os.path.join(path, f"checkpoint_epoch_{meta['epoch']}"))
+    _post(saved)
     return saved
 
 

@@ -109,6 +109,34 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert any("model_best" in f for f in os.listdir(tmp_path))
 
 
+def test_async_checkpoint_save_all_roundtrip(tmp_path):
+    """Async (Orbax background) saves: pipelined one deep, drained by
+    wait_for_checkpoints; --save_all per-epoch copies land after the drain."""
+    import jax
+    from flax import nnx
+
+    from quantized_tpu.models import get_model
+    from quantized_tpu.utils import load_checkpoint, save_checkpoint, wait_for_checkpoints
+
+    m = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(3))
+    for epoch in (1, 2):
+        save_checkpoint(
+            m, str(tmp_path), meta={"epoch": epoch}, is_best=(epoch == 2),
+            save_all=True, async_save=True,
+        )
+    wait_for_checkpoints()
+    files = os.listdir(tmp_path)
+    assert any("checkpoint_epoch_1" in f for f in files), files
+    assert any("checkpoint_epoch_2" in f for f in files), files
+    assert any("model_best" in f for f in files), files
+    m2 = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(9))
+    meta = load_checkpoint(m2, str(tmp_path))
+    assert meta["epoch"] == 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    m.eval(), m2.eval()
+    np.testing.assert_allclose(np.asarray(m(x)), np.asarray(m2(x)), rtol=1e-6, atol=1e-6)
+
+
 def test_reference_export_then_ingest_roundtrip(tmp_path):
     import jax
     from flax import nnx

@@ -118,8 +118,13 @@ def autotune_resident(
     for conv in convs:
         key = _sig_key(conv_signature(conv))
         if key not in table:
+            conv_backends = list(backends)
+            if conv.int4_shape is not None:
+                # packed int4 layers also race the native-S4 two-half-conv
+                # forms against the unpack-single-conv "xla" forms
+                conv_backends += ["s4", "s4-split"]
             times = {}
-            for b in backends:
+            for b in conv_backends:
                 if b in ("pallas", "gemm") and conv.groups != 1:
                     continue
                 try:

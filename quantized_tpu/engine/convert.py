@@ -157,10 +157,14 @@ def _convert_conv(
     )
     int4_shape = None
     w_store = jnp.asarray(w_q)
-    if int4_pack and weight_bits == 4:
-        from quantized_tpu.ops.int4 import pack_int4_conv
+    if int4_pack and weight_bits == 4 and w_q.shape[2] % 2 == 0:
+        # channel-split-half packing -> native-S4 conv execution (halved
+        # weight HBM); odd Cin-per-group (stem Cin=3, depthwise Cg=1) stays
+        # unpacked int8 — those weights are tiny, the grid is int4 either way
+        from quantized_tpu.ops.int4 import pack_int4_conv_channels
 
-        w_store, int4_shape = pack_int4_conv(w_store)
+        int4_shape = w_q.shape
+        w_store = pack_int4_conv_channels(w_store)
     return IntConv2d(
         w_store,
         alpha,

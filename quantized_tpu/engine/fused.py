@@ -1,0 +1,114 @@
+"""Fused-block execution for the int8-resident engine.
+
+``fuse_resident_blocks`` replaces every eligible ``Int8Bottleneck`` (stride-1,
+identity shortcut, int8-stored weights) in a built ``Int8ResNet`` with a
+:class:`FusedInt8Bottleneck` that runs the whole block in one Pallas kernel
+(ops/fused_block.py) — interior activations never touch HBM. The epilogue
+constants are precomputed here in exactly the minimal-op forms the unfused
+path uses (int8_conv.int8_conv_xla's fused requant and int8_resident's
+prescaled residual tail), so the fused block is bit-identical to the module
+composition it replaces (pinned by tests/test_fused_block.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from quantized_tpu.engine.int8_resident import Int8Bottleneck, Int8ResNet, _Int8Stage
+from quantized_tpu.engine.int_layers import IntConv2d
+from quantized_tpu.ops.fused_block import fused_bottleneck_s1
+
+
+def _is_1x1_s1(conv: IntConv2d) -> bool:
+    return (
+        conv.int4_shape is None
+        and conv.groups == 1
+        and conv.stride == (1, 1)
+        and conv.padding == (0, 0)
+        and conv.w_q.get_value().shape[:2] == (1, 1)
+    )
+
+
+def _is_3x3_s1(conv: IntConv2d) -> bool:
+    return (
+        conv.int4_shape is None
+        and conv.groups == 1
+        and conv.stride == (1, 1)
+        and conv.padding == (1, 1)
+        and conv.w_q.get_value().shape[:2] == (3, 3)
+    )
+
+
+class FusedInt8Bottleneck(nnx.Module):
+    """Single-kernel bottleneck (see ops/fused_block.py). Holds the reshaped
+    int8 kernels plus the fully-folded epilogue vectors."""
+
+    def __init__(self, blk: Int8Bottleneck):
+        c1, c2, c3 = blk.conv1, blk.conv2, blk.conv3
+        s2, zp2 = c2.grid
+        s3, zp3 = c3.grid
+        s_out, zp_out = blk.out_grid
+        s1, zp1 = c1.grid
+
+        w1 = c1.w_q.get_value()
+        w2 = c2.w_q.get_value()
+        w3 = c3.w_q.get_value()
+        self.w1 = nnx.Param(w1.reshape(w1.shape[2], w1.shape[3]))
+        self.w2 = nnx.Param(w2)
+        self.w3 = nnx.Param(w3.reshape(w3.shape[2], w3.shape[3]))
+        # conv1/conv2: fused requant onto the next conv's grid (ReLU folded
+        # into the clip floor); conv3: prescaled by the out grid
+        self.a1 = nnx.Param(c1.alpha.get_value() / jnp.float32(s2))
+        self.b1 = nnx.Param(c1.beta.get_value() / jnp.float32(s2) + jnp.float32(zp2 - 128))
+        self.a2 = nnx.Param(c2.alpha.get_value() / jnp.float32(s3))
+        self.b2 = nnx.Param(c2.beta.get_value() / jnp.float32(s3) + jnp.float32(zp3 - 128))
+        shift = zp_out - 128
+        self.a3 = nnx.Param(c3.alpha.get_value() / jnp.float32(s_out))
+        self.b3 = nnx.Param(c3.beta.get_value() / jnp.float32(s_out) + jnp.float32(shift))
+        self.lo1 = float(zp2 - 128)
+        self.lo2 = float(zp3 - 128)
+        self.shift = float(shift)
+        self.zp2_stored = int(zp2 - 128)
+        self.id_k = float(s1 / s_out)
+        self.id_c = float((128 - zp1) * (s1 / s_out))
+        self.in_grid = (s1, zp1)
+        self.out_grid = blk.out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        return fused_bottleneck_s1(
+            x_q,
+            self.w1.get_value(), self.w2.get_value(), self.w3.get_value(),
+            self.a1.get_value(), self.b1.get_value(),
+            self.a2.get_value(), self.b2.get_value(),
+            self.a3.get_value(), self.b3.get_value(),
+            lo1=self.lo1, lo2=self.lo2, shift=self.shift,
+            zp2_stored=self.zp2_stored, id_k=self.id_k, id_c=self.id_c,
+        )
+
+
+def fusable(blk) -> bool:
+    return (
+        isinstance(blk, Int8Bottleneck)
+        and blk.downsample is None
+        and blk.out_grid is not None
+        and _is_1x1_s1(blk.conv1)
+        and _is_3x3_s1(blk.conv2)
+        and _is_1x1_s1(blk.conv3)
+    )
+
+
+def fuse_resident_blocks(model: Int8ResNet) -> int:
+    """Replace eligible bottlenecks in place; returns how many were fused."""
+    fused = 0
+    for i in range(model.num_stages):
+        stage: _Int8Stage = getattr(model, f"layer{i + 1}")
+        for j in range(stage.num_blocks):
+            blk = getattr(stage, str(j))
+            if fusable(blk):
+                setattr(stage, str(j), FusedInt8Bottleneck(blk))
+                fused += 1
+    return fused

@@ -130,9 +130,11 @@ def build_int8_alexnet(model: nnx.Module, weight_bits: int = 8,
         if not isinstance(getattr(model, fn_), QLinear):
             raise TypeError(f"{fn_} must be QLinear")
     fcs = [
-        _convert_linear(model.fc1, model.bnf1, weight_bits, int4_pack=False),
-        _convert_linear(model.fc2, model.bnf2, weight_bits, int4_pack=False),
-        _convert_linear(model.fc3, None, weight_bits, int4_pack=False),
+        # fc weights are 54.6 MB of AlexNet's 61 MB — the int4 native-S4 GEMM
+        # halves their HBM read (2.1x at B<=8, bench/int4_weightbound.py)
+        _convert_linear(model.fc1, model.bnf1, weight_bits, int4_pack=weight_bits == 4),
+        _convert_linear(model.fc2, model.bnf2, weight_bits, int4_pack=weight_bits == 4),
+        _convert_linear(model.fc3, None, weight_bits, int4_pack=weight_bits == 4),
     ]
 
     # requant targets: each layer emits int8 on its next consumer's grid

@@ -18,7 +18,7 @@ from flax import nnx
 
 from quantized_tpu.ops.int8_conv import int8_conv_gemm, int8_conv_xla
 from quantized_tpu.ops.int8_matmul import int8_matmul, matmul_epilogue_params
-from quantized_tpu.ops.int4 import int4_matmul, pack_int4
+from quantized_tpu.ops.int4 import int4_matmul_s4, pack_int4
 
 
 class Identity(nnx.Module):
@@ -109,12 +109,13 @@ class IntConv2d(nnx.Module):
             self.set_backend(backend)
 
     def weights(self) -> jax.Array:
-        """HWIO int8 kernel (unpacks packed int4 storage on the fly — one
-        elementwise pass over weights, fused into the conv's weight read)."""
+        """HWIO int8 kernel (unpacks channel-split int4 storage on the fly;
+        the production int4 conv path never calls this — it bitcasts the
+        packed bytes to native S4 instead, see run_q)."""
         if self.int4_shape is not None:
-            from quantized_tpu.ops.int4 import unpack_int4_conv
+            from quantized_tpu.ops.int4 import unpack_int4_conv_channels
 
-            return unpack_int4_conv(self.w_q.get_value(), self.int4_shape)
+            return unpack_int4_conv_channels(self.w_q.get_value())
         return self.w_q.get_value()
 
     @property
@@ -217,6 +218,13 @@ class IntConv2d(nnx.Module):
             out_scale, out_zp = out_requant
             if self.backend == "bf16-split":
                 y = self._run_bf16(x_q, relu, None, None)
+            elif self.backend == "s4-split":
+                from quantized_tpu.ops.int4 import int4_conv_s4
+
+                y = int4_conv_s4(
+                    x_q, self.w_q.get_value(), alpha, beta, self.stride,
+                    self.padding, self.stored_zp, relu=relu, groups=self.groups,
+                )
             else:
                 y = int8_conv_xla(
                     x_q, self.weights(), alpha, beta, self.stride, self.padding,
@@ -225,6 +233,19 @@ class IntConv2d(nnx.Module):
             return quantize_input_stored(y, out_scale, out_zp)
         if self.backend.startswith("bf16"):
             return self._run_bf16(x_q, relu, out_requant, out_prescale)
+        if self.backend.startswith("s4"):
+            # native-S4 two-half-conv on the packed bytes (halved weight HBM;
+            # only valid for channel-packed int4 layers — autotuned against
+            # the unpack-single-conv "xla" form, which wins where per-op
+            # overhead dominates)
+            assert self.int4_shape is not None, "s4 backend needs packed int4 weights"
+            from quantized_tpu.ops.int4 import int4_conv_s4
+
+            return int4_conv_s4(
+                x_q, self.w_q.get_value(), alpha, beta, self.stride,
+                self.padding, self.stored_zp, relu=relu, groups=self.groups,
+                out_requant=out_requant,
+            )
         if self.backend == "pallas" and self.groups == 1:
             from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct
 
@@ -304,7 +325,10 @@ class IntLinear(nnx.Module):
         int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s grid
         (split-style: separate quantize pass — see IntConv2d docstring)."""
         relu = self.relu if relu is None else relu
-        mm = int4_matmul if self.int4 else int8_matmul
+        # int4 uses the native-S4 bitcast path (halved weight HBM; the Pallas
+        # VPU-unpack kernel is kept for comparison but loses to it — see
+        # bench/int4_weightbound.py)
+        mm = int4_matmul_s4 if self.int4 else int8_matmul
         y = mm(x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=relu)
         if out_requant is not None:
             return quantize_input_stored(y, *out_requant)

@@ -23,15 +23,18 @@ def param_partition_spec(path: tuple, value: Any) -> P:
     """Rule: HWIO conv kernels shard out-channels; (out,in) fc weights shard
     rows; per-channel 1-D vectors shard; scalars/observer buffers replicate."""
     ndim = getattr(value, "ndim", 0)
-    path_str = "/".join(str(p) for p in path)
     if ndim == 4:  # HWIO conv kernel -> out channels on model axis
         return P(None, None, None, MODEL_AXIS)
     if ndim == 2:  # (out, in) linear weight -> rows on model axis
         return P(MODEL_AXIS, None)
     if ndim == 1:
-        # observer buffers are shape (1,) and must replicate; per-channel
-        # vectors (bias / BN gamma,beta,mean,var) shard over model
-        if value.shape[0] == 1 or "quantize_input" in path_str or "running_min" in path_str or "running_max" in path_str:
+        # The rule is purely structural (no name matching — renames must not
+        # silently change shardings): observer buffers are (1,)-shaped by the
+        # reference checkpoint contract (models/layers.py QuantMeasure) and
+        # replicate; longer 1-D vectors are per-channel quantities (bias, BN
+        # gamma/beta/mean/var) and follow the channel shard. Non-divisible
+        # lengths fall back to replication in shard_model_state.
+        if value.shape[0] == 1:
             return P(None)
         return P(MODEL_AXIS)
     return P()

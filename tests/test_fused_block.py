@@ -1,0 +1,71 @@
+"""Fused bottleneck kernel: bit-parity with the unfused Int8Bottleneck
+composition (same integer accumulators, same epilogue forms, same order)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from quantized_tpu.engine import build_int8_resident
+from quantized_tpu.engine.fused import (
+    FusedInt8Bottleneck,
+    fusable,
+    fuse_resident_blocks,
+)
+from quantized_tpu.models import get_model
+
+
+def _calibrated_resnet50_small():
+    """ResNet-50 geometry blocks but on a tiny spatial grid for CPU tests."""
+    model = get_model("resnet_quantized_float_bn")(
+        dataset="imagenet", depth=50, rngs=nnx.Rngs(0)
+    )
+    model.train()
+    model(jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3)) * 1.5)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def resident():
+    return build_int8_resident(_calibrated_resnet50_small())
+
+
+def test_fused_block_bitexact_vs_unfused(resident):
+    blk = getattr(resident.layer1, "1")  # identity bottleneck
+    assert fusable(blk)
+    fused = FusedInt8Bottleneck(blk)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 256))
+    from quantized_tpu.engine.int_layers import quantize_input_stored
+
+    x_q = quantize_input_stored(x, *blk.conv1.grid)
+    want = np.asarray(blk(x_q), np.int32)
+    got = np.asarray(fused(x_q), np.int32)
+    # identical integer accumulators; the f32 epilogue can differ by FMA
+    # contraction (XLA fuses mul+add, Mosaic may not), flipping rare
+    # exact-.5 roundings by one int step
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_fuse_resident_blocks_replaces_identity_blocks(resident):
+    import copy
+
+    model = resident
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    want = np.asarray(model(x))
+    n = fuse_resident_blocks(model)
+    # ResNet-50: 16 blocks - 4 downsample - the final block (f32 out) = 11
+    assert n == 11
+    got = np.asarray(model(x))
+    # rare one-int-step epilogue rounding flips (see the bitexact test)
+    # propagate through later layers; bound like the gemm-vs-xla backend test
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=3e-2)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+    # downsample blocks untouched
+    from quantized_tpu.engine.int8_resident import Int8Bottleneck
+
+    assert isinstance(getattr(model.layer1, "0"), Int8Bottleneck)
+    assert isinstance(getattr(model.layer1, "1"), FusedInt8Bottleneck)

@@ -142,3 +142,51 @@ def test_int4_matmul_matches_unpacked(rng):
     got = np.asarray(int4_matmul(jnp.asarray(a), pack_int4(jnp.asarray(q)), alpha, beta, interpret=True))
     want = np.asarray(int8_matmul(jnp.asarray(a), jnp.asarray(q), alpha, beta, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_int4_matmul_s4_matches_unpacked(rng):
+    """Native-S4 path (bitcast inside the jit): integer-exact vs the plain
+    s8 GEMM on the unpacked weights, both epilogue forms."""
+    from quantized_tpu.ops.int4 import int4_matmul_s4
+
+    m, k, n = 16, 256, 128
+    a = _rand_int8(rng, (m, k), -128)
+    q = rng.integers(-7, 8, (k, n)).astype(np.int8)
+    alpha = jnp.full((n,), 3e-4, jnp.float32)
+    beta = jnp.linspace(-0.1, 0.1, n).astype(jnp.float32)
+    packed = pack_int4(jnp.asarray(q))
+    got = np.asarray(int4_matmul_s4(jnp.asarray(a), packed, alpha, beta))
+    want = np.asarray(int8_matmul(jnp.asarray(a), jnp.asarray(q), alpha, beta, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # fused requant epilogue
+    got_q = np.asarray(int4_matmul_s4(jnp.asarray(a), packed, alpha, beta,
+                                      relu=True, out_scale=0.02, out_zp=30))
+    y = np.maximum(want, 0.0)
+    want_q = np.clip(np.round(y / 0.02 + (30 - 128)), 30 - 128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got_q, want_q)
+
+
+def test_int4_conv_s4_matches_unpacked(rng):
+    """Channel-split-half conv packing + two-half-conv execution: exact vs
+    the s8 conv on the unpacked weights (incl. stored-zp padding + groups)."""
+    from quantized_tpu.ops.int4 import (
+        int4_conv_s4,
+        pack_int4_conv_channels,
+        unpack_int4_conv_channels,
+    )
+    from quantized_tpu.ops.int8_conv import int8_conv_xla
+
+    for groups, cin, cout in ((1, 8, 16), (2, 8, 16)):
+        q = rng.integers(-7, 8, (3, 3, cin // groups, cout)).astype(np.int8)
+        packed = pack_int4_conv_channels(jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(unpack_int4_conv_channels(packed)), q)
+        x = _rand_int8(rng, (2, 8, 8, cin), -128)
+        alpha = jnp.full((cout,), 1e-3, jnp.float32)
+        beta = jnp.linspace(-0.2, 0.2, cout).astype(jnp.float32)
+        got = np.asarray(int4_conv_s4(jnp.asarray(x), packed, alpha, beta,
+                                      stride=(1, 1), padding=(1, 1), stored_zp=-100,
+                                      relu=True, groups=groups))
+        want = np.asarray(int8_conv_xla(jnp.asarray(x), jnp.asarray(q), alpha, beta,
+                                        stride=(1, 1), padding=(1, 1), stored_zp=-100,
+                                        relu=True, groups=groups))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

@@ -44,31 +44,39 @@ def _fused_bottleneck_kernel(
     x_ref, w1_ref, w2_ref, w3_ref,
     a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
     out_ref,
-    h1p_ref, tap_ref, acc2_ref,
-    *, h: int, w: int, c: int, cm: int,
+    h1p_ref, acc2_ref,
+    *, bi: int, h: int, w: int, c: int, cm: int,
     lo1: float, lo2: float, shift: float, zp2_stored: int,
     id_k: float, id_c: float,
 ):
-    m = h * w
-    x = x_ref[0]  # (H, W, C) int8
-    xm = x.reshape(m, c)
+    """``bi`` images per grid step (amortizes per-step pipeline overhead for
+    the small-spatial deep stages). h1p holds the zero-point-padded conv1
+    outputs of all bi images: (bi, H+2, W+2, Cm)."""
+    m = bi * h * w
+    xm = x_ref[...].reshape(m, c)
 
     # conv1 (1x1) + fused requant onto conv2's grid
     acc1 = jnp.dot(xm, w1_ref[...], preferred_element_type=jnp.int32)
     q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
     h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
 
-    # zero-point-padded h1 (conv2's 3x3 halo); stored zp dequantizes to 0
-    h1p_ref[...] = jnp.full((h + 2, w + 2, cm), zp2_stored, jnp.int8)
-    h1p_ref[1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cm)
+    # halo padding with the stored zero-point (dequantizes to exactly 0):
+    # fill the borders only, then write the interior
+    zp = jnp.int8(zp2_stored)
+    h1p_ref[:, 0, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
+    h1p_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
+    h1p_ref[:, :, 0, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
+    h1p_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
+    h1p_ref[:, 1 : h + 1, 1 : w + 1, :] = h1.reshape(bi, h, w, cm)
 
-    # conv2 (3x3) as 9 tap GEMMs accumulating in int32 scratch
+    # conv2 (3x3) as 9 tap GEMMs accumulating in int32 scratch; taps are
+    # sliced straight into the MXU feed (no staging copy)
     acc2_ref[...] = jnp.zeros((m, cm), jnp.int32)
     for dy in range(3):
         for dx in range(3):
-            tap_ref[...] = h1p_ref[dy : dy + h, dx : dx + w, :].reshape(m, cm)
+            tap = h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, cm)
             acc2_ref[...] += jnp.dot(
-                tap_ref[...], w2_ref[dy, dx], preferred_element_type=jnp.int32
+                tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
             )
     q2 = jnp.round(acc2_ref[...].astype(jnp.float32) * a2_ref[...] + b2_ref[...])
     h2 = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
@@ -79,7 +87,7 @@ def _fused_bottleneck_kernel(
     idq = xm.astype(jnp.float32) * jnp.float32(id_k) + jnp.float32(id_c)
     q = jnp.round(y + idq)
     out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
-    out_ref[0] = out.reshape(h, w, c)
+    out_ref[...] = out.reshape(bi, h, w, c)
 
 
 @functools.partial(
@@ -105,21 +113,29 @@ def fused_bottleneck_s1(
     forms (see engine/fused.py for the derivation from IntConv2d layers)."""
     n, h, w, c = x_q.shape
     cm = w1.shape[1]
-    m = h * w
+
+    # images per grid step: amortize per-step pipeline overhead on the deep
+    # stages (small spatial grids) while keeping the step's VMEM footprint
+    # around ~2 MB of x + interiors
+    bi = 1
+    per_image = h * w * c
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 2 * 1024 * 1024:
+        bi *= 2
+    m = bi * h * w
 
     vec = lambda v: v.astype(jnp.float32)[None, :]
     kernel = functools.partial(
         _fused_bottleneck_kernel,
-        h=h, w=w, c=c, cm=cm,
+        bi=bi, h=h, w=w, c=c, cm=cm,
         lo1=float(lo1), lo2=float(lo2), shift=float(shift),
         zp2_stored=int(zp2_stored), id_k=float(id_k), id_c=float(id_c),
     )
-    flops = 2 * n * m * (c * cm + 9 * cm * cm + cm * c)
+    flops = 2 * n * h * w * (c * cm + 9 * cm * cm + cm * c)
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // bi,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, cm, cm), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cm, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -130,11 +146,10 @@ def fused_bottleneck_s1(
             pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2, cm), jnp.int8),
-            pltpu.VMEM((m, cm), jnp.int8),
+            pltpu.VMEM((bi, h + 2, w + 2, cm), jnp.int8),
             pltpu.VMEM((m, cm), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -142,7 +157,7 @@ def fused_bottleneck_s1(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * n * m * c,
+            bytes_accessed=2 * n * h * w * c,
             transcendentals=0,
         ),
         interpret=resolve_interpret(interpret),

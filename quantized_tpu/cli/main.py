@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
     p.add_argument("--serve-u8", action="store_true", help="serve raw uint8 images (normalize+quantize fused into the engine ingest)")
     p.add_argument("--mesh-model-parallel", type=int, default=None, help="TP degree over the model axis")
+    p.add_argument("--tp-explicit", action="store_true",
+                   help="route the classifier head through the explicit shard_map "
+                        "reduce-scatter TP form instead of GSPMD (requires --mesh-model-parallel)")
     p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--profile", default="", metavar="DIR", help="write an XProf/TensorBoard trace of the eval to DIR")
@@ -207,6 +210,15 @@ def main(argv=None):
                            weight_quant=args.weight_quant)
             logger.info("converted to int%d execution (backend=%s, weight_quant=%s)",
                         args.weight_bits, args.backend, args.weight_quant)
+        if args.tp_explicit:
+            if mesh is None:
+                raise SystemExit("--tp-explicit requires --mesh-model-parallel")
+            from quantized_tpu.engine.int_layers import IntLinear
+            from quantized_tpu.parallel.tp_engine import ExplicitTPFc
+
+            if isinstance(getattr(model, "fc", None), IntLinear):
+                model.fc = ExplicitTPFc(model.fc, mesh)
+                logger.info("fc routed through explicit reduce-scatter TP")
 
     if args.serve:
         from quantized_tpu.engine.server import serve

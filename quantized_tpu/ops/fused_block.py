@@ -44,50 +44,54 @@ def _fused_bottleneck_kernel(
     x_ref, w1_ref, w2_ref, w3_ref,
     a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
     out_ref,
-    h1p_ref, acc2_ref,
-    *, bi: int, h: int, w: int, c: int, cm: int,
+    h1p_ref, acc2_ref, h2_ref,
+    *, bi: int, h: int, w: int, c: int, cm: int, rh3: int,
     lo1: float, lo2: float, shift: float, zp2_stored: int,
     id_k: float, id_c: float,
 ):
-    """``bi`` images per grid step (amortizes per-step pipeline overhead for
-    the small-spatial deep stages). h1p holds the zero-point-padded conv1
-    outputs of all bi images: (bi, H+2, W+2, Cm)."""
-    m = bi * h * w
-    xm = x_ref[...].reshape(m, c)
-
-    # conv1 (1x1) + fused requant onto conv2's grid
-    acc1 = jnp.dot(xm, w1_ref[...], preferred_element_type=jnp.int32)
-    q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
-    h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
-
-    # halo padding with the stored zero-point (dequantizes to exactly 0):
-    # fill the borders only, then write the interior
+    """``bi`` images per grid step (amortizes per-step pipeline overhead on
+    the small-spatial deep stages). Per-image loops + row-chunked conv3
+    epilogue (``rh3`` rows at a time) keep the value stack well under the
+    16 MB VMEM budget — the whole-image formulation OOMed at 56x56x256."""
+    hw = h * w
     zp = jnp.int8(zp2_stored)
-    h1p_ref[:, 0, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
-    h1p_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
-    h1p_ref[:, :, 0, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
-    h1p_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
-    h1p_ref[:, 1 : h + 1, 1 : w + 1, :] = h1.reshape(bi, h, w, cm)
 
-    # conv2 (3x3) as 9 tap GEMMs accumulating in int32 scratch; taps are
-    # sliced straight into the MXU feed (no staging copy)
-    acc2_ref[...] = jnp.zeros((m, cm), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, cm)
-            acc2_ref[...] += jnp.dot(
-                tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
-            )
-    q2 = jnp.round(acc2_ref[...].astype(jnp.float32) * a2_ref[...] + b2_ref[...])
-    h2 = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
+    for b in range(bi):
+        # conv1 (1x1) + fused requant onto conv2's grid
+        xb = x_ref[b].reshape(hw, c)
+        acc1 = jnp.dot(xb, w1_ref[...], preferred_element_type=jnp.int32)
+        q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+        # halo borders carry the stored zero-point (dequantizes to exactly 0)
+        h1p_ref[b, 0, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
+        h1p_ref[b, h + 1, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
+        h1p_ref[b, :, 0, :] = jnp.full((h + 2, cm), zp, jnp.int8)
+        h1p_ref[b, :, w + 1, :] = jnp.full((h + 2, cm), zp, jnp.int8)
+        h1p_ref[b, 1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cm)
 
-    # conv3 (1x1), prescaled epilogue + identity add + final requant
-    acc3 = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.int32)
-    y = acc3.astype(jnp.float32) * a3_ref[...] + b3_ref[...]
-    idq = xm.astype(jnp.float32) * jnp.float32(id_k) + jnp.float32(id_c)
-    q = jnp.round(y + idq)
-    out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
-    out_ref[...] = out.reshape(bi, h, w, c)
+    for b in range(bi):
+        # conv2 (3x3): 9 tap GEMMs into the int32 scratch, taps sliced
+        # straight into the MXU feed
+        acc2_ref[...] = jnp.zeros((hw, cm), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = h1p_ref[b, dy : dy + h, dx : dx + w, :].reshape(hw, cm)
+                acc2_ref[...] += jnp.dot(
+                    tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
+                )
+        q2 = jnp.round(acc2_ref[...].astype(jnp.float32) * a2_ref[...] + b2_ref[...])
+        h2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
+
+        # conv3 (1x1) + identity + final requant, rh3 rows per chunk
+        for r0 in range(0, h, rh3):
+            h2c = h2_ref[r0 * w : (r0 + rh3) * w, :]
+            acc3 = jnp.dot(h2c, w3_ref[...], preferred_element_type=jnp.int32)
+            y = acc3.astype(jnp.float32) * a3_ref[...] + b3_ref[...]
+            xc = x_ref[b, r0 : r0 + rh3].reshape(rh3 * w, c)
+            idq = xc.astype(jnp.float32) * jnp.float32(id_k) + jnp.float32(id_c)
+            q = jnp.round(y + idq)
+            out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
+            out_ref[b, r0 : r0 + rh3] = out.reshape(rh3, w, c)
 
 
 @functools.partial(
@@ -115,18 +119,25 @@ def fused_bottleneck_s1(
     cm = w1.shape[1]
 
     # images per grid step: amortize per-step pipeline overhead on the deep
-    # stages (small spatial grids) while keeping the step's VMEM footprint
-    # around ~2 MB of x + interiors
+    # stages (small spatial grids) while keeping the x/out blocks <= ~0.8 MB
     bi = 1
     per_image = h * w * c
-    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 2 * 1024 * 1024:
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
         bi *= 2
     m = bi * h * w
+    # conv3 epilogue row chunk: bound the (rows*W, C) f32 value stack to
+    # ~0.8 MB per live value; rh3 must divide H
+    rh3 = h
+    while rh3 > 1 and rh3 * w * c * 4 > 850_000:
+        for d in range(rh3 - 1, 0, -1):
+            if h % d == 0:
+                rh3 = d
+                break
 
     vec = lambda v: v.astype(jnp.float32)[None, :]
     kernel = functools.partial(
         _fused_bottleneck_kernel,
-        bi=bi, h=h, w=w, c=c, cm=cm,
+        bi=bi, h=h, w=w, c=c, cm=cm, rh3=rh3,
         lo1=float(lo1), lo2=float(lo2), shift=float(shift),
         zp2_stored=int(zp2_stored), id_k=float(id_k), id_c=float(id_c),
     )
@@ -150,7 +161,8 @@ def fused_bottleneck_s1(
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((bi, h + 2, w + 2, cm), jnp.int8),
-            pltpu.VMEM((m, cm), jnp.int32),
+            pltpu.VMEM((h * w, cm), jnp.int32),
+            pltpu.VMEM((h * w, cm), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -16,9 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from __graft_entry__ import _calibrated_model
 from quantized_tpu.engine import build_int8_resident
 from quantized_tpu.engine.fused import FusedInt8Bottleneck, fusable
-from quantized_tpu.models import get_model
 from quantized_tpu.utils.timing import per_iter_time
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
@@ -26,12 +26,9 @@ HBM = 646e9  # measured s8 stream rate
 
 
 def main():
-    model = get_model("resnet_quantized_float_bn")(
-        dataset="imagenet", depth=50, rngs=nnx.Rngs(0)
-    )
-    model.train()
-    model(jax.random.normal(jax.random.PRNGKey(0), (2, 224, 224, 3)) * 1.5)
-    model.eval()
+    # set observer buffers directly — an eager train-mode calibration forward
+    # is minutes of op-by-op tunnel dispatches on this sandbox
+    model = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
     res = build_int8_resident(model)
     spatial = {1: 56, 2: 28, 3: 14, 4: 7}
 

@@ -18,9 +18,14 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from quantized_tpu.engine.int8_resident import Int8Bottleneck, Int8ResNet, _Int8Stage
+from quantized_tpu.engine.int8_resident import (
+    Int8BasicBlock,
+    Int8Bottleneck,
+    Int8ResNet,
+    _Int8Stage,
+)
 from quantized_tpu.engine.int_layers import IntConv2d
-from quantized_tpu.ops.fused_block import fused_bottleneck_s1
+from quantized_tpu.ops.fused_block import fused_basicblock_s1, fused_bottleneck_s1
 
 
 def _is_1x1_s1(conv: IntConv2d) -> bool:
@@ -90,25 +95,78 @@ class FusedInt8Bottleneck(nnx.Module):
         )
 
 
+class FusedInt8BasicBlock(nnx.Module):
+    """Single-kernel 3x3->3x3 identity block (ResNet-18/34 + CIFAR geometry);
+    epilogue derivation mirrors Int8BasicBlock's out_grid path exactly."""
+
+    def __init__(self, blk: Int8BasicBlock):
+        c1, c2 = blk.conv1, blk.conv2
+        s1, zp1 = c1.grid
+        s2, zp2 = c2.grid
+        s_out, zp_out = blk.out_grid
+
+        self.w1 = nnx.Param(c1.w_q.get_value())
+        self.w2 = nnx.Param(c2.w_q.get_value())
+        self.a1 = nnx.Param(c1.alpha.get_value() / jnp.float32(s2))
+        self.b1 = nnx.Param(c1.beta.get_value() / jnp.float32(s2) + jnp.float32(zp2 - 128))
+        shift = zp_out - 128
+        self.a2 = nnx.Param(c2.alpha.get_value() / jnp.float32(s_out))
+        self.b2 = nnx.Param(c2.beta.get_value() / jnp.float32(s_out) + jnp.float32(shift))
+        self.lo1 = float(zp2 - 128)
+        self.shift = float(shift)
+        self.zp1_stored = int(zp1 - 128)
+        self.zp2_stored = int(zp2 - 128)
+        self.id_k = float(s1 / s_out)
+        self.id_c = float((128 - zp1) * (s1 / s_out))
+        self.in_grid = (s1, zp1)
+        self.out_grid = blk.out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        return fused_basicblock_s1(
+            x_q,
+            self.w1.get_value(), self.w2.get_value(),
+            self.a1.get_value(), self.b1.get_value(),
+            self.a2.get_value(), self.b2.get_value(),
+            lo1=self.lo1, shift=self.shift,
+            zp1_stored=self.zp1_stored, zp2_stored=self.zp2_stored,
+            id_k=self.id_k, id_c=self.id_c,
+        )
+
+
 def fusable(blk) -> bool:
-    return (
-        isinstance(blk, Int8Bottleneck)
-        and blk.downsample is None
-        and blk.out_grid is not None
-        and _is_1x1_s1(blk.conv1)
-        and _is_3x3_s1(blk.conv2)
-        and _is_1x1_s1(blk.conv3)
-    )
+    if isinstance(blk, Int8Bottleneck):
+        return (
+            blk.downsample is None
+            and blk.out_grid is not None
+            and _is_1x1_s1(blk.conv1)
+            and _is_3x3_s1(blk.conv2)
+            and _is_1x1_s1(blk.conv3)
+        )
+    if isinstance(blk, Int8BasicBlock):
+        return (
+            blk.downsample is None
+            and blk.out_grid is not None
+            and _is_3x3_s1(blk.conv1)
+            and _is_3x3_s1(blk.conv2)
+        )
+    return False
+
+
+def fuse_block(blk):
+    """Fused twin of an eligible block (``fusable(blk)`` must hold)."""
+    if isinstance(blk, Int8Bottleneck):
+        return FusedInt8Bottleneck(blk)
+    return FusedInt8BasicBlock(blk)
 
 
 def fuse_resident_blocks(model: Int8ResNet) -> int:
-    """Replace eligible bottlenecks in place; returns how many were fused."""
+    """Replace eligible blocks in place; returns how many were fused."""
     fused = 0
     for i in range(model.num_stages):
         stage: _Int8Stage = getattr(model, f"layer{i + 1}")
         for j in range(stage.num_blocks):
             blk = getattr(stage, str(j))
             if fusable(blk):
-                setattr(stage, str(j), FusedInt8Bottleneck(blk))
+                setattr(stage, str(j), fuse_block(blk))
                 fused += 1
     return fused

@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from flax import nnx
 
 from quantized_tpu.ops.int8_conv import int8_conv_gemm, int8_conv_xla
-from quantized_tpu.ops.int8_matmul import int8_matmul, matmul_epilogue_params
+from quantized_tpu.ops.int8_matmul import (
+    int8_matmul,
+    int8_matmul_xla,
+    matmul_epilogue_params,
+)
 from quantized_tpu.ops.int4 import int4_matmul_s4, pack_int4
 
 
@@ -307,6 +311,12 @@ class IntLinear(nnx.Module):
         self.act_zero_point = int(act_zero_point)
         self.relu = relu
         self.int4 = int4
+        # 'pallas' (kernel-default blocks) | 'pallas:bm,bn,bk' (tuned blocks)
+        # | 'xla' (lax s8 dot) — pinned per fc signature by the autotuner
+        self.backend = "pallas"
+
+    def set_backend(self, backend: str) -> None:
+        self.backend = backend
 
     @property
     def grid(self) -> Tuple[float, int]:
@@ -325,11 +335,21 @@ class IntLinear(nnx.Module):
         int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s grid
         (split-style: separate quantize pass — see IntConv2d docstring)."""
         relu = self.relu if relu is None else relu
-        # int4 uses the native-S4 bitcast path (halved weight HBM; the Pallas
-        # VPU-unpack kernel is kept for comparison but loses to it — see
-        # bench/int4_weightbound.py)
-        mm = int4_matmul_s4 if self.int4 else int8_matmul
-        y = mm(x_q, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(), relu=relu)
+        if _SHAPE_RECORDER is not None:
+            _SHAPE_RECORDER[id(self)] = tuple(x_q.shape)
+        w, al, be = self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value()
+        backend = getattr(self, "backend", "pallas")
+        if self.int4:
+            # native-S4 bitcast path (halved weight HBM; the Pallas VPU-unpack
+            # kernel is kept for comparison but loses — bench/int4_weightbound.py)
+            y = int4_matmul_s4(x_q, w, al, be, relu=relu)
+        elif backend == "xla":
+            y = int8_matmul_xla(x_q, w, al, be, relu=relu)
+        elif backend.startswith("pallas:"):
+            bm, bn, bk = (int(v) for v in backend[len("pallas:"):].split(","))
+            y = int8_matmul(x_q, w, al, be, relu=relu, block_m=bm, block_n=bn, block_k=bk)
+        else:
+            y = int8_matmul(x_q, w, al, be, relu=relu)
         if out_requant is not None:
             return quantize_input_stored(y, *out_requant)
         return y

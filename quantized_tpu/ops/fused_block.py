@@ -22,6 +22,11 @@ floor), applied in the same order.
 
 Only stride-1 identity blocks are fused (12 of ResNet-50's 16 blocks — and
 all the traffic-heavy ones); downsample blocks keep the unfused path.
+
+``fused_basicblock_s1`` is the 3x3->3x3 variant (ResNet-18/34 and the CIFAR
+geometry): same grid-over-batch design, with the *input* also halo-padded in
+VMEM (conv1 is 3x3 here, unlike the bottleneck's 1x1) using conv1's stored
+zero-point, which dequantizes to exactly 0.
 """
 
 from __future__ import annotations
@@ -174,3 +179,135 @@ def fused_bottleneck_s1(
         ),
         interpret=resolve_interpret(interpret),
     )(x_q, w1, w2, w3, vec(a1), vec(b1), vec(a2), vec(b2), vec(a3), vec(b3))
+
+
+def _fused_basicblock_kernel(
+    x_ref, w1_ref, w2_ref,
+    a1_ref, b1_ref, a2_ref, b2_ref,
+    out_ref,
+    xp_ref, h1p_ref, acc_ref,
+    *, bi: int, h: int, w: int, c: int, rh2: int,
+    lo1: float, shift: float, zp1_stored: int, zp2_stored: int,
+    id_k: float, id_c: float,
+):
+    """3x3 -> 3x3 identity block, ``bi`` images per grid step. Both convs are
+    9-tap GEMMs over VMEM-halo-padded tiles; the input tile doubles as the
+    identity operand. Epilogues mirror Int8BasicBlock's minimal-op forms."""
+    hw = h * w
+    zp1 = jnp.int8(zp1_stored)
+    zp2 = jnp.int8(zp2_stored)
+
+    for b in range(bi):
+        # halo-pad the input (stored zero-point dequantizes to exactly 0)
+        xp_ref[b, 0, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
+        xp_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
+        xp_ref[b, :, 0, :] = jnp.full((h + 2, c), zp1, jnp.int8)
+        xp_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp1, jnp.int8)
+        xp_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+
+    for b in range(bi):
+        # conv1 (3x3) + fused requant onto conv2's grid (ReLU in the floor)
+        acc_ref[...] = jnp.zeros((hw, c), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp_ref[b, dy : dy + h, dx : dx + w, :].reshape(hw, c)
+                acc_ref[...] += jnp.dot(
+                    tap, w1_ref[dy, dx], preferred_element_type=jnp.int32
+                )
+        q1 = jnp.round(acc_ref[...].astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+        h1p_ref[b, 0, :, :] = jnp.full((w + 2, c), zp2, jnp.int8)
+        h1p_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp2, jnp.int8)
+        h1p_ref[b, :, 0, :] = jnp.full((h + 2, c), zp2, jnp.int8)
+        h1p_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp2, jnp.int8)
+        h1p_ref[b, 1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, c)
+
+    for b in range(bi):
+        # conv2 (3x3) + identity + final requant, rh2 rows per chunk
+        acc_ref[...] = jnp.zeros((hw, c), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = h1p_ref[b, dy : dy + h, dx : dx + w, :].reshape(hw, c)
+                acc_ref[...] += jnp.dot(
+                    tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
+                )
+        for r0 in range(0, h, rh2):
+            accc = acc_ref[r0 * w : (r0 + rh2) * w, :]
+            y = accc.astype(jnp.float32) * a2_ref[...] + b2_ref[...]
+            xc = x_ref[b, r0 : r0 + rh2].reshape(rh2 * w, c)
+            idq = xc.astype(jnp.float32) * jnp.float32(id_k) + jnp.float32(id_c)
+            q = jnp.round(y + idq)
+            out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
+            out_ref[b, r0 : r0 + rh2] = out.reshape(rh2, w, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lo1", "shift", "zp1_stored", "zp2_stored", "id_k", "id_c", "interpret"
+    ),
+)
+def fused_basicblock_s1(
+    x_q: jax.Array,  # (B, H, W, C) int8 stored on conv1's grid
+    w1: jax.Array,  # (3, 3, C, C) int8
+    w2: jax.Array,  # (3, 3, C, C) int8
+    a1: jax.Array, b1: jax.Array,  # (C,) conv1 requant-onto-grid2 epilogue
+    a2: jax.Array, b2: jax.Array,  # (C,) conv2 prescaled epilogue
+    lo1: float, shift: float,  # conv1 clip floor (ReLU folded), out shift
+    zp1_stored: int,  # conv1 input grid's stored zero-point (x halo padding)
+    zp2_stored: int,  # conv2 input grid's stored zero-point (h1 halo padding)
+    id_k: float, id_c: float,  # identity prescale: x*id_k + id_c
+    interpret: bool = None,
+) -> jax.Array:
+    """One fused identity 3x3->3x3 block; returns int8 on the out grid."""
+    n, h, w, c = x_q.shape
+
+    bi = 1
+    per_image = h * w * c
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+        bi *= 2
+    rh2 = h
+    while rh2 > 1 and rh2 * w * c * 4 > 850_000:
+        for d in range(rh2 - 1, 0, -1):
+            if h % d == 0:
+                rh2 = d
+                break
+
+    vec = lambda v: v.astype(jnp.float32)[None, :]
+    kernel = functools.partial(
+        _fused_basicblock_kernel,
+        bi=bi, h=h, w=w, c=c, rh2=rh2,
+        lo1=float(lo1), shift=float(shift),
+        zp1_stored=int(zp1_stored), zp2_stored=int(zp2_stored),
+        id_k=float(id_k), id_c=float(id_c),
+    )
+    flops = 2 * n * h * w * (9 * c * c + 9 * c * c)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bi,),
+        in_specs=[
+            pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
+            pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
+            pltpu.VMEM((h * w, c), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * n * h * w * c,
+            transcendentals=0,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(x_q, w1, w2, vec(a1), vec(b1), vec(a2), vec(b2))

@@ -242,3 +242,26 @@ def int8_matmul_requant(
         interpret=resolve_interpret(interpret),
     )(a_p, b_p, alpha_p, beta_p)
     return out[:m, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("relu",))
+def int8_matmul_xla(
+    a: jax.Array,  # (M, K) int8 (stored u-128)
+    b: jax.Array,  # (K, N) int8 symmetric
+    alpha: jax.Array,  # (N,) f32
+    beta: jax.Array,  # (N,) f32
+    relu: bool = False,
+) -> jax.Array:
+    """XLA s8 dot + fused f32 epilogue — integer-exact alternative to the
+    Pallas kernel (same int32 accumulation); raced by the fc autotuner
+    (engine/autotune.py) since small-M classifier-head GEMMs can prefer
+    XLA's own tiling over any fixed Pallas block shape."""
+    acc = jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * alpha.astype(jnp.float32)[None, :] + beta.astype(
+        jnp.float32
+    )[None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y

@@ -10,10 +10,11 @@ from quantized_tpu.engine import build_int8_resident
 from quantized_tpu.engine.autotune import (
     apply_cached_backends,
     conv_signature,
+    _fc_signature,
     _record_shapes,
     _sig_key,
 )
-from quantized_tpu.engine.int_layers import IntConv2d
+from quantized_tpu.engine.int_layers import IntConv2d, IntLinear
 from quantized_tpu.models import get_model
 from quantized_tpu.models.layers import QuantMeasure
 
@@ -53,11 +54,13 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
     model = build_int8_resident(_calibrated())
     _record_shapes(model, x)
 
-    # fabricate a cache mapping every signature to bf16
+    # fabricate a cache mapping every conv to bf16 and the fc to tuned blocks
     table = {}
     for _, m in nnx.iter_modules(model):
         if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape"):
             table[_sig_key(conv_signature(m))] = "bf16"
+        elif isinstance(m, IntLinear) and hasattr(m, "last_input_shape"):
+            table[_fc_signature(m)] = "pallas:128,256,512"
     cache_path = str(tmp_path / "autotune.json")
     with open(cache_path, "w") as f:
         json.dump({jax.devices()[0].device_kind: table}, f)
@@ -68,8 +71,28 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
         m.backend for _, m in nnx.iter_modules(model2) if isinstance(m, IntConv2d)
     }
     assert backends == {"bf16"}
+    fc_backends = {
+        m.backend for _, m in nnx.iter_modules(model2) if isinstance(m, IntLinear)
+    }
+    assert fc_backends == {"pallas:128,256,512"}
     out = model2(x)
     assert out.shape == (2, 10)
+
+
+def test_fc_backends_bit_exact(rng):
+    """Every fc backend form (xla dot, default Pallas, tuned-block Pallas)
+    computes the identical f32 output — the autotuner's race is free to pick
+    any of them."""
+    K, N, M = 320, 136, 48
+    w = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    alpha = jnp.asarray(rng.uniform(0.01, 0.1, N), jnp.float32)
+    beta = jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+    lin = IntLinear(w, alpha, beta, 0.05, 100, relu=True)
+    x_q = jnp.asarray(rng.integers(-128, 128, (M, K)), jnp.int8)
+    ref = lin.run_q(x_q)
+    for b in ("xla", "pallas:128,256,512", "pallas:512,512,512"):
+        lin.set_backend(b)
+        np.testing.assert_array_equal(np.asarray(lin.run_q(x_q)), np.asarray(ref))
 
 
 def test_stem_bf16_backend_close_to_int8(rng):

@@ -69,3 +69,47 @@ def test_fuse_resident_blocks_replaces_identity_blocks(resident):
 
     assert isinstance(getattr(model.layer1, "0"), Int8Bottleneck)
     assert isinstance(getattr(model.layer1, "1"), FusedInt8Bottleneck)
+
+
+def _calibrated_resnet18_small():
+    """ResNet-18 geometry (BasicBlocks) on a small spatial grid."""
+    model = get_model("resnet_quantized_float_bn")(
+        dataset="imagenet", depth=18, rngs=nnx.Rngs(0)
+    )
+    model.train()
+    model(jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3)) * 1.5)
+    model.eval()
+    return model
+
+
+def test_fused_basicblock_bitexact_vs_unfused():
+    from quantized_tpu.engine.fused import FusedInt8BasicBlock
+    from quantized_tpu.engine.int_layers import quantize_input_stored
+
+    res = build_int8_resident(_calibrated_resnet18_small())
+    blk = getattr(res.layer1, "1")  # identity BasicBlock
+    assert fusable(blk)
+    fused = FusedInt8BasicBlock(blk)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))
+    x_q = quantize_input_stored(x, *blk.conv1.grid)
+    want = np.asarray(blk(x_q), np.int32)
+    got = np.asarray(fused(x_q), np.int32)
+    # same <=1-int-step FMA-contraction bound as the bottleneck test
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_fuse_resident_blocks_basicblock_model():
+    from quantized_tpu.engine.fused import FusedInt8BasicBlock
+
+    model = build_int8_resident(_calibrated_resnet18_small())
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    want = np.asarray(model(x))
+    n = fuse_resident_blocks(model)
+    # ResNet-18: 8 blocks - 3 downsample - the final block (f32 out) = 4
+    assert n == 4
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=3e-2)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
+    assert isinstance(getattr(model.layer1, "1"), FusedInt8BasicBlock)

@@ -54,13 +54,26 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
     model = build_int8_resident(_calibrated())
     _record_shapes(model, x)
 
-    # fabricate a cache mapping every conv to bf16 and the fc to tuned blocks
+    # fabricate a cache: convs -> bf16, fc -> tuned blocks, one block -> fused
+    from quantized_tpu.engine.autotune import _block_signature
+    from quantized_tpu.engine.fused import FusedInt8BasicBlock, fusable
+
     table = {}
     for _, m in nnx.iter_modules(model):
         if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape"):
             table[_sig_key(conv_signature(m))] = "bf16"
         elif isinstance(m, IntLinear) and hasattr(m, "last_input_shape"):
             table[_fc_signature(m)] = "pallas:128,256,512"
+    fusable_sigs = []
+    for i in range(model.num_stages):
+        stage = getattr(model, f"layer{i + 1}")
+        for j in range(stage.num_blocks):
+            blk = getattr(stage, str(j))
+            if fusable(blk) and hasattr(blk.conv1, "last_input_shape"):
+                fusable_sigs.append(_block_signature(blk))
+    assert fusable_sigs, "CIFAR resnet20 should have fusable identity blocks"
+    for sig in fusable_sigs:  # several blocks share a signature -> one entry
+        table[sig] = "fused"
     cache_path = str(tmp_path / "autotune.json")
     with open(cache_path, "w") as f:
         json.dump({jax.devices()[0].device_kind: table}, f)
@@ -75,6 +88,10 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
         m.backend for _, m in nnx.iter_modules(model2) if isinstance(m, IntLinear)
     }
     assert fc_backends == {"pallas:128,256,512"}
+    fused_blocks = [
+        m for _, m in nnx.iter_modules(model2) if isinstance(m, FusedInt8BasicBlock)
+    ]
+    assert len(fused_blocks) == len(fusable_sigs)  # every cached "fused" applied
     out = model2(x)
     assert out.shape == (2, 10)
 

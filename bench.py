@@ -55,9 +55,14 @@ def main():
     mode = "int8-resident"
     try:
         from quantized_tpu.engine import build_int8_resident
+        from quantized_tpu.utils.hostbuild import host_build, put_model
 
-        q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-        int_model = build_int8_resident(q)
+        # build host-side, push once: bulk D2H pulls through the axon tunnel
+        # are slow and can wedge its device->host stream (hostbuild.py)
+        with host_build():
+            q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+            int_model = build_int8_resident(q)
+        put_model(int_model)
         try:
             # per-layer backend + pool-impl selection; all-cached after the
             # first run on a given device kind (autotune_cache.json)
@@ -74,8 +79,12 @@ def main():
         int_model = convert_to_int(q, weight_bits=8, backend="xla")
         ips = _model_throughput(int_model, x)
 
-    fmodel = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
-    fmodel.eval()
+    from quantized_tpu.utils.hostbuild import host_build, put_model
+
+    with host_build():
+        fmodel = get_model("resnet")(dataset="imagenet", depth=50, rngs=nnx.Rngs(0))
+        fmodel.eval()
+    put_model(fmodel)
     ips_f = _model_throughput(fmodel, x)
 
     print(

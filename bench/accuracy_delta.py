@@ -47,15 +47,18 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
 
-def top1(model, batches) -> float:
+def top1(model, batches):
+    """(top-1 %, concatenated argmax predictions) over ``batches``."""
     gd, st = nnx.split(model)
     fwd = jax.jit(lambda s, v: nnx.merge(gd, s)(v))
     hits = n = 0
+    preds = []
     for x, y in batches:
         pred = np.asarray(jnp.argmax(fwd(st, jnp.asarray(x)), -1))
+        preds.append(pred)
         hits += int((pred == np.asarray(y)).sum())
         n += len(y)
-    return 100.0 * hits / n
+    return 100.0 * hits / n, np.concatenate(preds)
 
 
 def main():
@@ -81,7 +84,8 @@ def main():
     model.eval()
 
     results = {}
-    results["fake-quant"] = top1(model, val.batches(BATCH))
+    preds = {}
+    results["fake-quant"], preds["fake-quant"] = top1(model, val.batches(BATCH))
 
     # fp32 twin shares nothing here (would need its own training) — skip its
     # absolute number and anchor deltas on fake-quant, the reference contract.
@@ -94,21 +98,29 @@ def main():
         m2.eval()
         return m2
 
-    results["int8-exact"] = top1(convert_to_int(fresh(), weight_bits=8), val.batches(BATCH))
-    results["int8-resident"] = top1(build_int8_resident(fresh()), val.batches(BATCH))
+    results["int8-exact"], preds["int8-exact"] = top1(
+        convert_to_int(fresh(), weight_bits=8), val.batches(BATCH))
+    results["int8-resident"], preds["int8-resident"] = top1(
+        build_int8_resident(fresh()), val.batches(BATCH))
     # the production engine runs with autotuned backends (may include the
     # bf16/bf16-split paths) — pin its accuracy too, not just the default
     from quantized_tpu.engine import apply_cached_backends
 
     tuned = build_int8_resident(fresh())
     apply_cached_backends(tuned, jnp.zeros((BATCH, 32, 32, 3), jnp.float32))
-    results["int8-resident-tuned"] = top1(tuned, val.batches(BATCH))
-    results["int4-w"] = top1(convert_to_int(fresh(), weight_bits=4), val.batches(BATCH))
+    results["int8-resident-tuned"], preds["int8-resident-tuned"] = top1(
+        tuned, val.batches(BATCH))
+    results["int4-w"], preds["int4-w"] = top1(
+        convert_to_int(fresh(), weight_bits=4), val.batches(BATCH))
 
     base = results["fake-quant"]
-    print(f"\ndataset={tag} val-top1 (delta vs fake-quant):")
+    base_pred = preds["fake-quant"]
+    # per-mode prediction agreement stays informative even when top-1
+    # saturates at this small set's 100% ceiling (deltas go vacuous there)
+    print(f"\ndataset={tag} val-top1 (delta and prediction agreement vs fake-quant):")
     for k, v in results.items():
-        print(f"  {k:>14}: {v:6.2f}%  ({v - base:+.2f} pt)")
+        agree = 100.0 * float((preds[k] == base_pred).mean())
+        print(f"  {k:>19}: {v:6.2f}%  ({v - base:+.2f} pt, agree {agree:6.2f}%)")
 
 
 if __name__ == "__main__":

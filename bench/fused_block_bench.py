@@ -26,10 +26,15 @@ HBM = 646e9  # measured s8 stream rate
 
 
 def main():
+    from quantized_tpu.utils.hostbuild import host_build, put_model
+
     # set observer buffers directly — an eager train-mode calibration forward
-    # is minutes of op-by-op tunnel dispatches on this sandbox
-    model = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-    res = build_int8_resident(model)
+    # is minutes of op-by-op tunnel dispatches on this sandbox — and build
+    # host-side (bulk D2H pulls wedge the tunnel)
+    with host_build():
+        model = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        res = build_int8_resident(model)
+    put_model(res)
     spatial = {1: 56, 2: 28, 3: 14, 4: 7}
 
     for li in (1, 2, 3, 4):
@@ -53,7 +58,9 @@ def main():
 
         gd_u, st_u = nnx.split(blk)
         gd_f, st_f = nnx.split(fused)
+        print(f"layer{li}: timing unfused...", flush=True)
         tu = per_iter_time(step_unfused, st_u, x_q, target_secs=0.5)
+        print(f"layer{li}: unfused {tu*1e3:.3f} ms; timing fused...", flush=True)
         tf = per_iter_time(step_fused, st_f, x_q, target_secs=0.5)
         boundary = 2 * B * h * h * cin
         floor_f = boundary / HBM

@@ -77,7 +77,13 @@ def main():
     for mode in MODES:
         x = jnp.ones((B, 224, 224, 3), jnp.bfloat16 if mode == "bf16" else jnp.float32)
         try:
-            ips = model_throughput(build(mode), x)
+            from quantized_tpu.utils.hostbuild import host_build, put_model
+
+            # build host-side, push once (bulk D2H pulls wedge the tunnel)
+            with host_build():
+                model = build(mode)
+            put_model(model)
+            ips = model_throughput(model, x)
             if base is None:
                 base = ips
             print(f"{mode:>14}: {ips:9.0f} img/s  ({B*1e6/ips:7.1f} us/img, {ips/base:5.2f}x vs {MODES[0]})", flush=True)

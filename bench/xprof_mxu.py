@@ -35,18 +35,16 @@ MODEL = sys.argv[2] if len(sys.argv) > 2 else "resnet50"
 def _build(model: str):
     from __graft_entry__ import _calibrated_model
     from quantized_tpu.engine import apply_cached_backends, build_int8_resident
+    from quantized_tpu.utils.hostbuild import host_build, put_model
 
-    if model == "resnet50":
-        q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-    elif model.startswith("resnet"):
-        q = _calibrated_model(
-            "resnet_quantized_float_bn", dataset="imagenet", depth=int(model[6:])
-        )
-    else:
+    if not model.startswith("resnet"):
         raise SystemExit(f"unknown model {model}")
-    eng = build_int8_resident(q)
-    apply_cached_backends(eng, jnp.zeros((B, 224, 224, 3), jnp.float32))
-    return eng
+    depth = int(model[6:])
+    with host_build():  # bulk D2H pulls wedge the tunnel — build host-side
+        q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=depth)
+        eng = build_int8_resident(q)
+        apply_cached_backends(eng, jnp.zeros((B, 224, 224, 3), jnp.float32))
+    return put_model(eng)
 
 
 def _capture(eng) -> str:

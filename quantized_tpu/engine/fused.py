@@ -25,7 +25,11 @@ from quantized_tpu.engine.int8_resident import (
     _Int8Stage,
 )
 from quantized_tpu.engine.int_layers import IntConv2d
-from quantized_tpu.ops.fused_block import fused_basicblock_s1, fused_bottleneck_s1
+from quantized_tpu.ops.fused_block import (
+    fused_basicblock_s1,
+    fused_bottleneck_ds,
+    fused_bottleneck_s1,
+)
 
 
 def _is_1x1_s1(conv: IntConv2d) -> bool:
@@ -133,11 +137,90 @@ class FusedInt8BasicBlock(nnx.Module):
         )
 
 
+class FusedInt8BottleneckDS(nnx.Module):
+    """Single-kernel *downsample* bottleneck (1x1 -> 3x3/s -> 1x1 with a
+    1x1/s shortcut conv); epilogue derivation mirrors Int8Bottleneck's
+    downsample path exactly (shortcut epilogue prescaled by the out grid)."""
+
+    def __init__(self, blk: Int8Bottleneck):
+        c1, c2, c3, d = blk.conv1, blk.conv2, blk.conv3, blk.downsample
+        s2, zp2 = c2.grid
+        s3, zp3 = c3.grid
+        s_out, zp_out = blk.out_grid
+
+        w1 = c1.w_q.get_value()
+        w2 = c2.w_q.get_value()
+        w3 = c3.w_q.get_value()
+        wd = d.w_q.get_value()
+        self.w1 = nnx.Param(w1.reshape(w1.shape[2], w1.shape[3]))
+        self.w2 = nnx.Param(w2)
+        self.w3 = nnx.Param(w3.reshape(w3.shape[2], w3.shape[3]))
+        self.wd = nnx.Param(wd.reshape(wd.shape[2], wd.shape[3]))
+        self.a1 = nnx.Param(c1.alpha.get_value() / jnp.float32(s2))
+        self.b1 = nnx.Param(c1.beta.get_value() / jnp.float32(s2) + jnp.float32(zp2 - 128))
+        self.a2 = nnx.Param(c2.alpha.get_value() / jnp.float32(s3))
+        self.b2 = nnx.Param(c2.beta.get_value() / jnp.float32(s3) + jnp.float32(zp3 - 128))
+        shift = zp_out - 128
+        self.a3 = nnx.Param(c3.alpha.get_value() / jnp.float32(s_out))
+        self.b3 = nnx.Param(c3.beta.get_value() / jnp.float32(s_out) + jnp.float32(shift))
+        self.ad = nnx.Param(d.alpha.get_value() / jnp.float32(s_out))
+        self.bd = nnx.Param(d.beta.get_value() / jnp.float32(s_out))
+        self.stride = int(c2.stride[0])
+        self.lo1 = float(zp2 - 128)
+        self.lo2 = float(zp3 - 128)
+        self.shift = float(shift)
+        self.zp2_stored = int(zp2 - 128)
+        self.in_grid = c1.grid
+        self.out_grid = blk.out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        return fused_bottleneck_ds(
+            x_q,
+            self.w1.get_value(), self.w2.get_value(),
+            self.w3.get_value(), self.wd.get_value(),
+            self.a1.get_value(), self.b1.get_value(),
+            self.a2.get_value(), self.b2.get_value(),
+            self.a3.get_value(), self.b3.get_value(),
+            self.ad.get_value(), self.bd.get_value(),
+            stride=self.stride,
+            lo1=self.lo1, lo2=self.lo2, shift=self.shift,
+            zp2_stored=self.zp2_stored,
+        )
+
+
+def _is_3x3_s(conv: IntConv2d, s: int) -> bool:
+    return (
+        conv.int4_shape is None
+        and conv.groups == 1
+        and conv.stride == (s, s)
+        and conv.padding == (1, 1)
+        and conv.w_q.get_value().shape[:2] == (3, 3)
+    )
+
+
+def _is_1x1_s(conv: IntConv2d, s: int) -> bool:
+    return (
+        conv.int4_shape is None
+        and conv.groups == 1
+        and conv.stride == (s, s)
+        and conv.padding == (0, 0)
+        and conv.w_q.get_value().shape[:2] == (1, 1)
+    )
+
+
 def fusable(blk) -> bool:
     if isinstance(blk, Int8Bottleneck):
+        if blk.downsample is not None:
+            if blk.out_grid is None or not _is_1x1_s1(blk.conv1) or not _is_1x1_s1(blk.conv3):
+                return False
+            s = blk.conv2.stride[0]
+            return (
+                s in (1, 2)
+                and _is_3x3_s(blk.conv2, s)
+                and _is_1x1_s(blk.downsample, s)
+            )
         return (
-            blk.downsample is None
-            and blk.out_grid is not None
+            blk.out_grid is not None
             and _is_1x1_s1(blk.conv1)
             and _is_3x3_s1(blk.conv2)
             and _is_1x1_s1(blk.conv3)
@@ -155,6 +238,8 @@ def fusable(blk) -> bool:
 def fuse_block(blk):
     """Fused twin of an eligible block (``fusable(blk)`` must hold)."""
     if isinstance(blk, Int8Bottleneck):
+        if blk.downsample is not None:
+            return FusedInt8BottleneckDS(blk)
         return FusedInt8Bottleneck(blk)
     return FusedInt8BasicBlock(blk)
 

@@ -311,3 +311,173 @@ def fused_basicblock_s1(
         ),
         interpret=resolve_interpret(interpret),
     )(x_q, w1, w2, vec(a1), vec(b1), vec(a2), vec(b2))
+
+
+def _parity_rows(arr, ho: int, dy: int):
+    """Rows ``dy + 2k`` (k < ho) of a (2*ho+2, W, C) array without strided
+    slicing: split the leading dim into (ho+1, 2) and select the parity."""
+    r = arr.reshape(ho + 1, 2, *arr.shape[1:])
+    return r[dy // 2 : ho + dy // 2, dy % 2]
+
+
+def _parity_cols(arr, wo: int, dx: int):
+    """Cols ``dx + 2j`` (j < wo) of a (R, 2*wo+2, C) array, same trick."""
+    r = arr.reshape(arr.shape[0], wo + 1, 2, arr.shape[-1])
+    return r[:, dx // 2 : wo + dx // 2, dx % 2]
+
+
+def _fused_bottleneck_ds_kernel(
+    x_ref, w1_ref, w2_ref, w3_ref, wd_ref,
+    a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref, ad_ref, bd_ref,
+    out_ref,
+    h1p_ref, acc2_ref, h2_ref,
+    *, bi: int, h: int, w: int, c: int, cm: int, cout: int, s: int,
+    rh1: int, rh3: int,
+    lo1: float, lo2: float, shift: float, zp2_stored: int,
+):
+    """Downsample bottleneck (1x1 -> 3x3/s -> 1x1, shortcut 1x1/s conv),
+    ``bi`` images per grid step. conv2's stride-2 taps and the shortcut's
+    spatial subsample use parity reshapes (no strided VMEM loads)."""
+    ho, wo = h // s, w // s
+    zp = jnp.int8(zp2_stored)
+
+    for b in range(bi):
+        # conv1 (1x1) + requant onto conv2's grid, rh1 input rows per chunk
+        h1p_ref[b, 0, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
+        h1p_ref[b, h + 1, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
+        h1p_ref[b, :, 0, :] = jnp.full((h + 2, cm), zp, jnp.int8)
+        h1p_ref[b, :, w + 1, :] = jnp.full((h + 2, cm), zp, jnp.int8)
+        for r0 in range(0, h, rh1):
+            xc = x_ref[b, r0 : r0 + rh1].reshape(rh1 * w, c)
+            acc1 = jnp.dot(xc, w1_ref[...], preferred_element_type=jnp.int32)
+            q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+            h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+            h1p_ref[b, 1 + r0 : 1 + r0 + rh1, 1 : w + 1, :] = h1.reshape(rh1, w, cm)
+
+    for b in range(bi):
+        # conv2 (3x3, stride s): 9 tap GEMMs into the int32 scratch
+        acc2_ref[...] = jnp.zeros((ho * wo, cm), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                if s == 1:
+                    tap = h1p_ref[b, dy : dy + h, dx : dx + w, :]
+                else:
+                    tap = _parity_cols(_parity_rows(h1p_ref[b], ho, dy), wo, dx)
+                acc2_ref[...] += jnp.dot(
+                    tap.reshape(ho * wo, cm), w2_ref[dy, dx],
+                    preferred_element_type=jnp.int32,
+                )
+        q2 = jnp.round(acc2_ref[...].astype(jnp.float32) * a2_ref[...] + b2_ref[...])
+        h2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
+
+        # conv3 (1x1) + shortcut conv + final requant, rh3 out rows per chunk
+        for r0 in range(0, ho, rh3):
+            h2c = h2_ref[r0 * wo : (r0 + rh3) * wo, :]
+            acc3 = jnp.dot(h2c, w3_ref[...], preferred_element_type=jnp.int32)
+            y = acc3.astype(jnp.float32) * a3_ref[...] + b3_ref[...]
+            if s == 1:
+                xc = x_ref[b, r0 : r0 + rh3]
+            else:
+                # shortcut subsample x[::2, ::2] via parity reshape
+                xr = x_ref[b, 2 * r0 : 2 * (r0 + rh3)]
+                xc = xr.reshape(rh3, 2, wo, 2, c)[:, 0, :, 0]
+            accd = jnp.dot(
+                xc.reshape(rh3 * wo, c), wd_ref[...], preferred_element_type=jnp.int32
+            )
+            idq = accd.astype(jnp.float32) * ad_ref[...] + bd_ref[...]
+            q = jnp.round(y + idq)
+            out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
+            out_ref[b, r0 : r0 + rh3] = out.reshape(rh3, wo, cout)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "lo1", "lo2", "shift", "zp2_stored", "interpret"),
+)
+def fused_bottleneck_ds(
+    x_q: jax.Array,  # (B, H, W, C) int8 stored on conv1's grid
+    w1: jax.Array,  # (C, Cm) int8 — conv1 1x1 kernel reshaped
+    w2: jax.Array,  # (3, 3, Cm, Cm) int8
+    w3: jax.Array,  # (Cm, Cout) int8 — conv3 1x1 kernel reshaped
+    wd: jax.Array,  # (C, Cout) int8 — downsample 1x1 kernel reshaped
+    a1: jax.Array, b1: jax.Array,  # (Cm,)
+    a2: jax.Array, b2: jax.Array,  # (Cm,)
+    a3: jax.Array, b3: jax.Array,  # (Cout,) conv3 prescaled epilogue
+    ad: jax.Array, bd: jax.Array,  # (Cout,) downsample prescaled epilogue
+    stride: int,
+    lo1: float, lo2: float, shift: float,
+    zp2_stored: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """One fused downsample bottleneck; returns int8 on the out grid at
+    (H/stride, W/stride, Cout)."""
+    n, h, w, c = x_q.shape
+    cm = w1.shape[1]
+    cout = w3.shape[1]
+    s = int(stride)
+    ho, wo = h // s, w // s
+    assert h % s == 0 and w % s == 0
+
+    bi = 1
+    per_image = max(h * w * c, ho * wo * cout)
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+        bi *= 2
+    # conv1 row chunk bounds the (rows*W, Cm) f32/int32 value stack
+    rh1 = h
+    while rh1 > 1 and rh1 * w * cm * 4 > 850_000:
+        for d in range(rh1 - 1, 0, -1):
+            if h % d == 0:
+                rh1 = d
+                break
+    rh3 = ho
+    while rh3 > 1 and rh3 * wo * max(cout, c * s) * 4 > 850_000:
+        for d in range(rh3 - 1, 0, -1):
+            if ho % d == 0:
+                rh3 = d
+                break
+
+    vec = lambda v: v.astype(jnp.float32)[None, :]
+    kernel = functools.partial(
+        _fused_bottleneck_ds_kernel,
+        bi=bi, h=h, w=w, c=c, cm=cm, cout=cout, s=s, rh1=rh1, rh3=rh3,
+        lo1=float(lo1), lo2=float(lo2), shift=float(shift),
+        zp2_stored=int(zp2_stored),
+    )
+    flops = 2 * n * (h * w * c * cm + 9 * ho * wo * cm * cm
+                     + ho * wo * cm * cout + ho * wo * c * cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bi,),
+        in_specs=[
+            pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cm, cm), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cm, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bi, ho, wo, cout), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((bi, h + 2, w + 2, cm), jnp.int8),
+            pltpu.VMEM((ho * wo, cm), jnp.int32),
+            pltpu.VMEM((ho * wo, cm), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n * (h * w * c + ho * wo * cout),
+            transcendentals=0,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(x_q, w1, w2, w3, wd, vec(a1), vec(b1), vec(a2), vec(b2), vec(a3), vec(b3),
+      vec(ad), vec(bd))

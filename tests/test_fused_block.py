@@ -53,21 +53,23 @@ def test_fused_block_bitexact_vs_unfused(resident):
 def test_fuse_resident_blocks_replaces_identity_blocks(resident):
     import copy
 
-    model = resident
+    # deep-copy: fuse_resident_blocks mutates in place and the fixture is
+    # module-scoped (the DS-parity tests below need the unfused blocks)
+    model = copy.deepcopy(resident)
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
     want = np.asarray(model(x))
     n = fuse_resident_blocks(model)
-    # ResNet-50: 16 blocks - 4 downsample - the final block (f32 out) = 11
-    assert n == 11
+    # ResNet-50: 16 blocks - the final block (f32 out) = 15 (identity + ds)
+    assert n == 15
     got = np.asarray(model(x))
     # rare one-int-step epilogue rounding flips (see the bitexact test)
     # propagate through later layers; bound like the gemm-vs-xla backend test
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=3e-2)
     assert (got.argmax(-1) == want.argmax(-1)).all()
-    # downsample blocks untouched
-    from quantized_tpu.engine.int8_resident import Int8Bottleneck
+    # downsample blocks get the DS kernel, identity blocks the s1 kernel
+    from quantized_tpu.engine.fused import FusedInt8BottleneckDS
 
-    assert isinstance(getattr(model.layer1, "0"), Int8Bottleneck)
+    assert isinstance(getattr(model.layer1, "0"), FusedInt8BottleneckDS)
     assert isinstance(getattr(model.layer1, "1"), FusedInt8Bottleneck)
 
 
@@ -113,3 +115,39 @@ def test_fuse_resident_blocks_basicblock_model():
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=3e-2)
     assert (got.argmax(-1) == want.argmax(-1)).all()
     assert isinstance(getattr(model.layer1, "1"), FusedInt8BasicBlock)
+
+
+def test_fused_bottleneck_ds_bitexact_vs_unfused(resident):
+    """Downsample (stride-2) bottleneck: fused kernel vs module composition."""
+    from quantized_tpu.engine.fused import FusedInt8BottleneckDS
+    from quantized_tpu.engine.int_layers import quantize_input_stored
+
+    blk = getattr(resident.layer2, "0")  # stride-2 downsample bottleneck
+    assert fusable(blk) and blk.downsample is not None
+    fused = FusedInt8BottleneckDS(blk)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 256))
+    x_q = quantize_input_stored(x, *blk.conv1.grid)
+    want = np.asarray(blk(x_q), np.int32)
+    got = np.asarray(fused(x_q), np.int32)
+    assert got.shape == want.shape
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_fused_bottleneck_ds_stride1_bitexact(resident):
+    """layer1's block 0: stride-1 but with a 1x1 projection shortcut."""
+    from quantized_tpu.engine.fused import FusedInt8BottleneckDS
+    from quantized_tpu.engine.int_layers import quantize_input_stored
+
+    blk = getattr(resident.layer1, "0")
+    assert fusable(blk) and blk.downsample is not None
+    assert blk.conv2.stride == (1, 1)
+    fused = FusedInt8BottleneckDS(blk)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 64))
+    x_q = quantize_input_stored(x, *blk.conv1.grid)
+    want = np.asarray(blk(x_q), np.int32)
+    got = np.asarray(fused(x_q), np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01

@@ -296,7 +296,8 @@ def _tune_fc(model: nnx.Module, table: Dict[str, str], verbose: bool = True) -> 
 def _block_signature(blk) -> str:
     n, h, w, c = blk.conv1.last_input_shape
     cm = int(blk.conv1.w_q.get_value().shape[-1])
-    s2 = int(blk.conv2.stride[0])
+    # stride sits on conv2 for Bottleneck, conv1 for BasicBlock
+    s2 = max(int(blk.conv1.stride[0]), int(blk.conv2.stride[0]))
     ds = blk.downsample is not None
     return f"block:{json.dumps([int(n), int(h), int(w), int(c), cm, s2, ds])}"
 

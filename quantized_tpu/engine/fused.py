@@ -1,13 +1,15 @@
 """Fused-block execution for the int8-resident engine.
 
-``fuse_resident_blocks`` replaces every eligible ``Int8Bottleneck`` (stride-1,
-identity shortcut, int8-stored weights) in a built ``Int8ResNet`` with a
-:class:`FusedInt8Bottleneck` that runs the whole block in one Pallas kernel
-(ops/fused_block.py) — interior activations never touch HBM. The epilogue
-constants are precomputed here in exactly the minimal-op forms the unfused
-path uses (int8_conv.int8_conv_xla's fused requant and int8_resident's
-prescaled residual tail), so the fused block is bit-identical to the module
-composition it replaces (pinned by tests/test_fused_block.py).
+``fuse_resident_blocks`` replaces every eligible residual block — identity
+and downsample, Bottleneck and BasicBlock, all int8-stored — in a built
+``Int8ResNet`` with a fused twin that runs the whole block in one Pallas
+kernel (ops/fused_block.py); interior activations never touch HBM. The
+epilogue constants are precomputed here in exactly the minimal-op forms the
+unfused path uses (int8_conv.int8_conv_xla's fused requant and
+int8_resident's prescaled residual/shortcut tails), so each fused block is
+bit-identical to the module composition it replaces (pinned by
+tests/test_fused_block.py). The autotuner races fused vs unfused per block
+signature and applies only the winners (engine/autotune.py _tune_blocks).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ from quantized_tpu.engine.int8_resident import (
 )
 from quantized_tpu.engine.int_layers import IntConv2d
 from quantized_tpu.ops.fused_block import (
+    fused_basicblock_ds,
     fused_basicblock_s1,
     fused_bottleneck_ds,
     fused_bottleneck_s1,
@@ -208,6 +211,48 @@ def _is_1x1_s(conv: IntConv2d, s: int) -> bool:
     )
 
 
+class FusedInt8BasicBlockDS(nnx.Module):
+    """Single-kernel *downsample* BasicBlock (3x3/s -> 3x3, 1x1/s shortcut
+    conv); mirrors Int8BasicBlock's downsample path."""
+
+    def __init__(self, blk: Int8BasicBlock):
+        c1, c2, d = blk.conv1, blk.conv2, blk.downsample
+        s1, zp1 = c1.grid
+        s2, zp2 = c2.grid
+        s_out, zp_out = blk.out_grid
+
+        wd = d.w_q.get_value()
+        self.w1 = nnx.Param(c1.w_q.get_value())
+        self.w2 = nnx.Param(c2.w_q.get_value())
+        self.wd = nnx.Param(wd.reshape(wd.shape[2], wd.shape[3]))
+        self.a1 = nnx.Param(c1.alpha.get_value() / jnp.float32(s2))
+        self.b1 = nnx.Param(c1.beta.get_value() / jnp.float32(s2) + jnp.float32(zp2 - 128))
+        shift = zp_out - 128
+        self.a2 = nnx.Param(c2.alpha.get_value() / jnp.float32(s_out))
+        self.b2 = nnx.Param(c2.beta.get_value() / jnp.float32(s_out) + jnp.float32(shift))
+        self.ad = nnx.Param(d.alpha.get_value() / jnp.float32(s_out))
+        self.bd = nnx.Param(d.beta.get_value() / jnp.float32(s_out))
+        self.stride = int(c1.stride[0])
+        self.lo1 = float(zp2 - 128)
+        self.shift = float(shift)
+        self.zp1_stored = int(zp1 - 128)
+        self.zp2_stored = int(zp2 - 128)
+        self.in_grid = c1.grid
+        self.out_grid = blk.out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        return fused_basicblock_ds(
+            x_q,
+            self.w1.get_value(), self.w2.get_value(), self.wd.get_value(),
+            self.a1.get_value(), self.b1.get_value(),
+            self.a2.get_value(), self.b2.get_value(),
+            self.ad.get_value(), self.bd.get_value(),
+            stride=self.stride,
+            lo1=self.lo1, shift=self.shift,
+            zp1_stored=self.zp1_stored, zp2_stored=self.zp2_stored,
+        )
+
+
 def fusable(blk) -> bool:
     if isinstance(blk, Int8Bottleneck):
         if blk.downsample is not None:
@@ -226,11 +271,15 @@ def fusable(blk) -> bool:
             and _is_1x1_s1(blk.conv3)
         )
     if isinstance(blk, Int8BasicBlock):
+        if blk.out_grid is None or not _is_3x3_s1(blk.conv2):
+            return False
+        if blk.downsample is None:
+            return _is_3x3_s1(blk.conv1)
+        s = blk.conv1.stride[0]
         return (
-            blk.downsample is None
-            and blk.out_grid is not None
-            and _is_3x3_s1(blk.conv1)
-            and _is_3x3_s1(blk.conv2)
+            s in (1, 2)
+            and _is_3x3_s(blk.conv1, s)
+            and _is_1x1_s(blk.downsample, s)
         )
     return False
 
@@ -241,6 +290,8 @@ def fuse_block(blk):
         if blk.downsample is not None:
             return FusedInt8BottleneckDS(blk)
         return FusedInt8Bottleneck(blk)
+    if blk.downsample is not None:
+        return FusedInt8BasicBlockDS(blk)
     return FusedInt8BasicBlock(blk)
 
 

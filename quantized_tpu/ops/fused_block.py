@@ -20,13 +20,19 @@ same integer accumulators and the same minimal-op f32 requant epilogues
 (1/s folded into alpha/beta, -128 into the zero-point, ReLU into the clip
 floor), applied in the same order.
 
-Only stride-1 identity blocks are fused (12 of ResNet-50's 16 blocks — and
-all the traffic-heavy ones); downsample blocks keep the unfused path.
+Kernel variants (every pre-head ResNet block has one):
 
-``fused_basicblock_s1`` is the 3x3->3x3 variant (ResNet-18/34 and the CIFAR
-geometry): same grid-over-batch design, with the *input* also halo-padded in
-VMEM (conv1 is 3x3 here, unlike the bottleneck's 1x1) using conv1's stored
-zero-point, which dequantizes to exactly 0.
+- ``fused_bottleneck_s1``: identity bottleneck (11 of ResNet-50's 16).
+- ``fused_bottleneck_ds``: downsample bottleneck (1x1 -> 3x3/s -> 1x1 with a
+  1x1/s shortcut conv); stride-2 taps and the shortcut subsample use parity
+  reshapes — split a spatial dim into (half, 2) and index the parity — so no
+  strided VMEM loads are needed.
+- ``fused_basicblock_s1`` / ``fused_basicblock_ds``: the 3x3->3x3 variants
+  (ResNet-18/34 and the CIFAR geometry), with the *input* also halo-padded
+  in VMEM (conv1 is 3x3 here) using conv1's stored zero-point, which
+  dequantizes to exactly 0.
+
+Only the final block of a net stays unfused (f32 out for avgpool/fc).
 """
 
 from __future__ import annotations
@@ -481,3 +487,150 @@ def fused_bottleneck_ds(
         interpret=resolve_interpret(interpret),
     )(x_q, w1, w2, w3, wd, vec(a1), vec(b1), vec(a2), vec(b2), vec(a3), vec(b3),
       vec(ad), vec(bd))
+
+
+def _fused_basicblock_ds_kernel(
+    x_ref, w1_ref, w2_ref, wd_ref,
+    a1_ref, b1_ref, a2_ref, b2_ref, ad_ref, bd_ref,
+    out_ref,
+    xp_ref, h1p_ref, acc_ref,
+    *, bi: int, h: int, w: int, c: int, cm: int, s: int, rh2: int,
+    lo1: float, shift: float, zp1_stored: int, zp2_stored: int,
+):
+    """Downsample BasicBlock (3x3/s -> 3x3 with a 1x1/s shortcut conv):
+    conv1's strided taps use parity reshapes over the halo-padded input."""
+    ho, wo = h // s, w // s
+    zp1 = jnp.int8(zp1_stored)
+    zp2 = jnp.int8(zp2_stored)
+
+    for b in range(bi):
+        xp_ref[b, 0, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
+        xp_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
+        xp_ref[b, :, 0, :] = jnp.full((h + 2, c), zp1, jnp.int8)
+        xp_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp1, jnp.int8)
+        xp_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+
+    for b in range(bi):
+        # conv1 (3x3, stride s) + requant onto conv2's grid
+        acc_ref[...] = jnp.zeros((ho * wo, cm), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                if s == 1:
+                    tap = xp_ref[b, dy : dy + h, dx : dx + w, :]
+                else:
+                    tap = _parity_cols(_parity_rows(xp_ref[b], ho, dy), wo, dx)
+                acc_ref[...] += jnp.dot(
+                    tap.reshape(ho * wo, c), w1_ref[dy, dx],
+                    preferred_element_type=jnp.int32,
+                )
+        q1 = jnp.round(acc_ref[...].astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+        h1p_ref[b, 0, :, :] = jnp.full((wo + 2, cm), zp2, jnp.int8)
+        h1p_ref[b, ho + 1, :, :] = jnp.full((wo + 2, cm), zp2, jnp.int8)
+        h1p_ref[b, :, 0, :] = jnp.full((ho + 2, cm), zp2, jnp.int8)
+        h1p_ref[b, :, wo + 1, :] = jnp.full((ho + 2, cm), zp2, jnp.int8)
+        h1p_ref[b, 1 : ho + 1, 1 : wo + 1, :] = h1.reshape(ho, wo, cm)
+
+    for b in range(bi):
+        # conv2 (3x3 s1) + shortcut conv + final requant
+        acc_ref[...] = jnp.zeros((ho * wo, cm), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = h1p_ref[b, dy : dy + ho, dx : dx + wo, :].reshape(ho * wo, cm)
+                acc_ref[...] += jnp.dot(
+                    tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
+                )
+        for r0 in range(0, ho, rh2):
+            accc = acc_ref[r0 * wo : (r0 + rh2) * wo, :]
+            y = accc.astype(jnp.float32) * a2_ref[...] + b2_ref[...]
+            if s == 1:
+                xc = x_ref[b, r0 : r0 + rh2]
+            else:
+                xr = x_ref[b, 2 * r0 : 2 * (r0 + rh2)]
+                xc = xr.reshape(rh2, 2, wo, 2, c)[:, 0, :, 0]
+            accd = jnp.dot(
+                xc.reshape(rh2 * wo, c), wd_ref[...], preferred_element_type=jnp.int32
+            )
+            idq = accd.astype(jnp.float32) * ad_ref[...] + bd_ref[...]
+            q = jnp.round(y + idq)
+            out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
+            out_ref[b, r0 : r0 + rh2] = out.reshape(rh2, wo, cm)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "lo1", "shift", "zp1_stored", "zp2_stored", "interpret"
+    ),
+)
+def fused_basicblock_ds(
+    x_q: jax.Array,  # (B, H, W, C) int8 stored on conv1's grid
+    w1: jax.Array,  # (3, 3, C, Cm) int8
+    w2: jax.Array,  # (3, 3, Cm, Cm) int8
+    wd: jax.Array,  # (C, Cm) int8 — downsample 1x1 kernel reshaped
+    a1: jax.Array, b1: jax.Array,  # (Cm,)
+    a2: jax.Array, b2: jax.Array,  # (Cm,) conv2 prescaled epilogue
+    ad: jax.Array, bd: jax.Array,  # (Cm,) downsample prescaled epilogue
+    stride: int,
+    lo1: float, shift: float,
+    zp1_stored: int, zp2_stored: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """One fused downsample 3x3->3x3 block; int8 out at (H/s, W/s, Cm)."""
+    n, h, w, c = x_q.shape
+    cm = w1.shape[-1]
+    s = int(stride)
+    ho, wo = h // s, w // s
+    assert h % s == 0 and w % s == 0
+
+    bi = 1
+    per_image = max(h * w * c, ho * wo * cm)
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+        bi *= 2
+    rh2 = ho
+    while rh2 > 1 and rh2 * wo * max(cm, c * s) * 4 > 850_000:
+        for d in range(rh2 - 1, 0, -1):
+            if ho % d == 0:
+                rh2 = d
+                break
+
+    vec = lambda v: v.astype(jnp.float32)[None, :]
+    kernel = functools.partial(
+        _fused_basicblock_ds_kernel,
+        bi=bi, h=h, w=w, c=c, cm=cm, s=s, rh2=rh2,
+        lo1=float(lo1), shift=float(shift),
+        zp1_stored=int(zp1_stored), zp2_stored=int(zp2_stored),
+    )
+    flops = 2 * n * ho * wo * (9 * c * cm + 9 * cm * cm + c * cm)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bi,),
+        in_specs=[
+            pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, cm), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cm, cm), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bi, ho, wo, cm), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cm), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
+            pltpu.VMEM((bi, ho + 2, wo + 2, cm), jnp.int8),
+            pltpu.VMEM((ho * wo, cm), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n * (h * w * c + ho * wo * cm),
+            transcendentals=0,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(x_q, w1, w2, wd, vec(a1), vec(b1), vec(a2), vec(b2), vec(ad), vec(bd))

@@ -31,11 +31,14 @@ def main():
     from quantized_tpu.utils.timing import per_iter_time
 
     enable_compilation_cache()
-    q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-    model = build_int8_resident(q)
     from quantized_tpu.engine import apply_cached_backends
+    from quantized_tpu.utils.hostbuild import host_build, put_model
 
-    tuned = apply_cached_backends(model, jnp.zeros((B, 224, 224, 3), jnp.float32))
+    with host_build():  # bulk D2H pulls wedge the tunnel — build host-side
+        q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        model = build_int8_resident(q)
+        tuned = apply_cached_backends(model, jnp.zeros((B, 224, 224, 3), jnp.float32))
+    put_model(model)
     print(f"device={jax.devices()[0].device_kind} batch={B} tuned_cache={tuned}", flush=True)
     rows = []
 

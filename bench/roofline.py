@@ -51,8 +51,12 @@ def engine_tops(batch: int) -> float:
     from quantized_tpu.engine import build_int8_resident
     from quantized_tpu.utils.timing import per_iter_time
 
-    q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-    model = build_int8_resident(q)
+    from quantized_tpu.utils.hostbuild import host_build, put_model
+
+    with host_build():  # bulk D2H pulls wedge the tunnel — build host-side
+        q = _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        model = build_int8_resident(q)
+    put_model(model)
     graphdef, state = nnx.split(model)
 
     def step(c, state, x):

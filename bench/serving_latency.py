@@ -43,10 +43,14 @@ def main():
     from quantized_tpu.engine.batching import ContinuousBatcher
     from quantized_tpu.engine.server import make_executor
 
-    model = build_int8_resident(
-        _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-    )
-    apply_cached_backends(model, jnp.zeros((128, 224, 224, 3), jnp.float32))
+    from quantized_tpu.utils.hostbuild import host_build, put_model
+
+    with host_build():  # bulk D2H pulls wedge the tunnel — build host-side
+        model = build_int8_resident(
+            _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+        )
+        apply_cached_backends(model, jnp.zeros((128, 224, 224, 3), jnp.float32))
+    put_model(model)
     ex = make_executor(model, ingest=INGEST)
     dtype = np.uint8 if INGEST == "u8" else np.float32
     batcher = ContinuousBatcher(ex, (224, 224, 3), BUCKETS, dtype=dtype).warmup().start()

@@ -27,25 +27,35 @@ WHICH = sys.argv[1] if len(sys.argv) > 1 else "both"
 BATCHES = [int(b) for b in sys.argv[2:]] or [1, 4, 8]
 
 
-def calibrated(name, shape, **cfg):
+def calibrated(name, **cfg):
+    # buffer injection, host-side: an eager train-mode forward is minutes of
+    # op-by-op dispatches through the tunnel (see utils/hostbuild.py)
+    from quantized_tpu.models.layers import QuantMeasure
+
     model = get_model(name)(rngs=nnx.Rngs(0), **cfg)
-    model.train()
-    model(jax.random.normal(jax.random.PRNGKey(0), shape) * 1.5)
+    for _, mod in nnx.iter_modules(model):
+        if isinstance(mod, QuantMeasure):
+            mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+            mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
     model.eval()
     return model
 
 
 def build(name, weight_bits):
-    if name == "alexnet":
-        from quantized_tpu.engine import build_int8_alexnet
+    from quantized_tpu.utils.hostbuild import host_build, put_model
 
-        m = calibrated("alexnet_quantized", (2, 224, 224, 3))
-        return build_int8_alexnet(m, weight_bits=weight_bits)
-    from quantized_tpu.engine import build_int8_resident
+    with host_build():
+        if name == "alexnet":
+            from quantized_tpu.engine import build_int8_alexnet
 
-    m = calibrated("resnet_quantized_float_bn", (2, 224, 224, 3),
-                   dataset="imagenet", depth=50)
-    return build_int8_resident(m, weight_bits=weight_bits)
+            m = calibrated("alexnet_quantized")
+            eng = build_int8_alexnet(m, weight_bits=weight_bits)
+        else:
+            from quantized_tpu.engine import build_int8_resident
+
+            m = calibrated("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+            eng = build_int8_resident(m, weight_bits=weight_bits)
+    return put_model(eng)
 
 
 def run(name):

@@ -143,6 +143,7 @@ def autotune_resident(
     measured += _tune_stem(model, example_input, table, verbose=verbose)
     measured += _tune_fc(model, table, verbose=verbose)
     measured += _tune_blocks(model, table, verbose=verbose)
+    measured += _tune_mobilenet_pairs(model, table, verbose=verbose)
 
     if cache_path and measured:
         with open(cache_path, "w") as f:
@@ -412,4 +413,92 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
                     complete = False
                 elif table[key] == "fused":
                     setattr(stage, str(j), fuse_block(blk))
+    # mobilenet dw->pw pair decisions
+    from quantized_tpu.engine.fused import fuse_mobilenet_blocks, pair_fusable
+    from quantized_tpu.engine.int8_mobilenet import Int8MobileNet
+
+    if isinstance(model, Int8MobileNet) and not getattr(model, "fused_stages", False):
+        convs = [getattr(model, f"conv{i}") for i in range(model.num_convs)]
+        grids = model.requant_grids
+        for i in range(model.num_convs - 1):
+            if (
+                pair_fusable(convs[i], convs[i + 1], grids[i], grids[i + 1])
+                and hasattr(convs[i], "last_input_shape")
+                and _mobilenet_pair_signature(convs[i], convs[i + 1]) not in table
+            ):
+                complete = False
+        fuse_mobilenet_blocks(
+            model,
+            decide=lambda d, p: table.get(_mobilenet_pair_signature(d, p)) == "fused",
+        )
     return complete
+
+
+class _UnfusedPair(nnx.Module):
+    """Timing stand-in for an unfused depthwise->pointwise pair."""
+
+    def __init__(self, dw, pw, g1, g2):
+        self.dw, self.pw = dw, pw
+        self.g1, self.g2 = g1, g2
+
+    def __call__(self, x_q):
+        h = self.dw.run_q(x_q, relu=True, out_requant=self.g1)
+        return self.pw.run_q(h, relu=True, out_requant=self.g2)
+
+
+def _mobilenet_pair_signature(dw, pw) -> str:
+    n, h, w, c = dw.last_input_shape
+    cout = int(pw.w_q.get_value().shape[-1])
+    s = int(dw.stride[0])
+    return f"dwpw:{json.dumps([int(n), int(h), int(w), int(c), cout, s])}"
+
+
+def _tune_mobilenet_pairs(model: nnx.Module, table: Dict[str, str],
+                          verbose: bool = True) -> int:
+    """Race each fusable depthwise->pointwise pair fused (single Pallas
+    kernel) vs unfused (two tuned convs) and fuse the winners in place."""
+    from quantized_tpu.engine.fused import (
+        FusedInt8DwPw,
+        fuse_mobilenet_blocks,
+        pair_fusable,
+    )
+    from quantized_tpu.engine.int8_mobilenet import Int8MobileNet
+
+    if not isinstance(model, Int8MobileNet) or getattr(model, "fused_stages", False):
+        return 0
+    convs = [getattr(model, f"conv{i}") for i in range(model.num_convs)]
+    grids = model.requant_grids
+    measured = 0
+    for i in range(model.num_convs - 1):
+        dw, pw = convs[i], convs[i + 1]
+        if not pair_fusable(dw, pw, grids[i], grids[i + 1]):
+            continue
+        if not hasattr(dw, "last_input_shape"):
+            continue
+        key = _mobilenet_pair_signature(dw, pw)
+        if key in table:
+            continue
+        try:
+            tu = _time_block(
+                _UnfusedPair(dw, pw, grids[i], grids[i + 1]), dw.last_input_shape
+            )
+            tf = _time_block(
+                FusedInt8DwPw(dw, pw, grids[i], grids[i + 1]), dw.last_input_shape
+            )
+        except Exception as e:  # pragma: no cover - device-specific
+            logger.warning("dwpw race failed for %s: %s", key, e)
+            table[key] = "unfused"
+            continue
+        table[key] = "fused" if tf < tu else "unfused"
+        measured += 1
+        if verbose:
+            print(
+                f"autotune {key}: unfused={tu*1e3:.3f}ms fused={tf*1e3:.3f}ms"
+                f" -> {table[key]}",
+                flush=True,
+            )
+    fuse_mobilenet_blocks(
+        model,
+        decide=lambda d, p: table.get(_mobilenet_pair_signature(d, p)) == "fused",
+    )
+    return measured

@@ -32,6 +32,7 @@ from quantized_tpu.ops.fused_block import (
     fused_basicblock_s1,
     fused_bottleneck_ds,
     fused_bottleneck_s1,
+    fused_dw_pw,
 )
 
 
@@ -305,4 +306,108 @@ def fuse_resident_blocks(model: Int8ResNet) -> int:
             if fusable(blk):
                 setattr(stage, str(j), fuse_block(blk))
                 fused += 1
+    return fused
+
+
+# ---------------------------------------------------------------- mobilenet
+
+class _ConvStage(nnx.Module):
+    """Unfused stage of a fused-plan MobileNet: one conv + its output grid."""
+
+    def __init__(self, conv: IntConv2d, out_grid):
+        self.conv = conv
+        self.stage_out_grid = out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        return self.conv.run_q(x_q, relu=True, out_requant=self.stage_out_grid)
+
+
+class FusedInt8DwPw(nnx.Module):
+    """Single-kernel depthwise-separable pair (3x3 dw / stride s -> 1x1 pw);
+    mirrors the two chained IntConv2d.run_q(relu=True, out_requant=...) calls
+    of Int8MobileNet._forward_q exactly."""
+
+    def __init__(self, dw: IntConv2d, pw: IntConv2d, dw_out_grid, pw_out_grid):
+        s_pw, zp_pw = dw_out_grid  # the pw conv's input grid
+        s_nx, zp_nx = pw_out_grid  # the next conv's input grid
+        wdw = dw.w_q.get_value()  # (3, 3, 1, C)
+        wpw = pw.w_q.get_value()  # (1, 1, C, Cout)
+        self.wdw = nnx.Param(wdw.reshape(3, 3, wdw.shape[-1]))
+        self.wpw = nnx.Param(wpw.reshape(wpw.shape[2], wpw.shape[3]))
+        self.a1 = nnx.Param(dw.alpha.get_value() / jnp.float32(s_pw))
+        self.b1 = nnx.Param(dw.beta.get_value() / jnp.float32(s_pw) + jnp.float32(zp_pw - 128))
+        self.a2 = nnx.Param(pw.alpha.get_value() / jnp.float32(s_nx))
+        self.b2 = nnx.Param(pw.beta.get_value() / jnp.float32(s_nx) + jnp.float32(zp_nx - 128))
+        self.stride = int(dw.stride[0])
+        self.lo1 = float(zp_pw - 128)
+        self.lo2 = float(zp_nx - 128)
+        self.zp1_stored = int(dw.act_zero_point - 128)
+        self.in_grid = dw.grid
+        self.stage_out_grid = pw_out_grid
+
+    def __call__(self, x_q: jax.Array) -> jax.Array:
+        return fused_dw_pw(
+            x_q,
+            self.wdw.get_value(), self.wpw.get_value(),
+            self.a1.get_value(), self.b1.get_value(),
+            self.a2.get_value(), self.b2.get_value(),
+            stride=self.stride,
+            lo1=self.lo1, lo2=self.lo2,
+            zp1_stored=self.zp1_stored,
+        )
+
+
+def _is_dw3x3(conv: IntConv2d) -> bool:
+    w = conv.w_q.get_value()
+    return (
+        conv.int4_shape is None
+        and conv.groups == w.shape[-1]
+        and w.shape[:3] == (3, 3, 1)
+        and conv.stride[0] in (1, 2)
+        and conv.stride[0] == conv.stride[1]
+        and conv.padding == (1, 1)
+    )
+
+
+def pair_fusable(dw, pw, dw_grid, pw_grid) -> bool:
+    return (
+        isinstance(dw, IntConv2d)
+        and isinstance(pw, IntConv2d)
+        and dw_grid is not None
+        and pw_grid is not None
+        and _is_dw3x3(dw)
+        and _is_1x1_s1(pw)
+    )
+
+
+def fuse_mobilenet_blocks(model, decide=None) -> int:
+    """Rebuild an Int8MobileNet's conv chain as stages, fusing every
+    depthwise->pointwise pair whose intermediate and output grids are both
+    frozen (and, when ``decide(dw, pw)`` is given, only pairs it approves —
+    the autotuner's fused-vs-unfused race). Returns how many pairs were
+    fused. Idempotent-safe: calling on an already-fused model is a no-op."""
+    from quantized_tpu.engine.int8_mobilenet import Int8MobileNet
+
+    if not isinstance(model, Int8MobileNet) or getattr(model, "fused_stages", False):
+        return 0
+    convs = [getattr(model, f"conv{i}") for i in range(model.num_convs)]
+    grids = model.requant_grids
+    stages = []
+    i = fused = 0
+    while i < model.num_convs:
+        if (
+            i + 1 < model.num_convs
+            and pair_fusable(convs[i], convs[i + 1], grids[i], grids[i + 1])
+            and (decide is None or decide(convs[i], convs[i + 1]))
+        ):
+            stages.append(FusedInt8DwPw(convs[i], convs[i + 1], grids[i], grids[i + 1]))
+            fused += 1
+            i += 2
+        else:
+            stages.append(_ConvStage(convs[i], grids[i]))
+            i += 1
+    for j, st in enumerate(stages):
+        setattr(model, f"stage{j}", st)
+    model.num_fused_stages = len(stages)
+    model.fused_stages = True
     return fused

@@ -48,10 +48,16 @@ class Int8MobileNet(nnx.Module):
 
     def _forward_q(self, x_q: jax.Array) -> jax.Array:
         h = x_q
-        for i in range(self.num_convs):
-            h = getattr(self, f"conv{i}").run_q(
-                h, relu=True, out_requant=self.requant_grids[i]
-            )
+        if getattr(self, "fused_stages", False):
+            # fused plan (engine/fused.py fuse_mobilenet_blocks): each stage
+            # is a FusedInt8DwPw pair or a _ConvStage wrapper
+            for j in range(self.num_fused_stages):
+                h = getattr(self, f"stage{j}")(h)
+        else:
+            for i in range(self.num_convs):
+                h = getattr(self, f"conv{i}").run_q(
+                    h, relu=True, out_requant=self.requant_grids[i]
+                )
         h = jnp.mean(h, axis=(1, 2))  # f32 from the last conv
         return self.fc(h)
 

@@ -634,3 +634,117 @@ def fused_basicblock_ds(
         ),
         interpret=resolve_interpret(interpret),
     )(x_q, w1, w2, wd, vec(a1), vec(b1), vec(a2), vec(b2), vec(ad), vec(bd))
+
+
+def _fused_dw_pw_kernel(
+    x_ref, wdw_ref, wpw_ref,
+    a1_ref, b1_ref, a2_ref, b2_ref,
+    out_ref,
+    xp_ref, h1_ref,
+    *, bi: int, h: int, w: int, c: int, cout: int, s: int, rh2: int,
+    lo1: float, lo2: float, zp1_stored: int,
+):
+    """Depthwise-separable pair (3x3 depthwise / stride s -> 1x1 pointwise),
+    ``bi`` images per grid step. The depthwise pass is 9 per-channel VPU
+    multiply-accumulates over the halo-padded input; its requantized output
+    stays in VMEM and feeds the pointwise GEMM directly."""
+    ho, wo = h // s, w // s
+    zp1 = jnp.int8(zp1_stored)
+
+    for b in range(bi):
+        xp_ref[b, 0, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
+        xp_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
+        xp_ref[b, :, 0, :] = jnp.full((h + 2, c), zp1, jnp.int8)
+        xp_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp1, jnp.int8)
+        xp_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+
+    for b in range(bi):
+        # depthwise 3x3 (stride s): 9 broadcast multiply-accumulates
+        acc = jnp.zeros((ho, wo, c), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                if s == 1:
+                    tap = xp_ref[b, dy : dy + h, dx : dx + w, :]
+                else:
+                    tap = _parity_cols(_parity_rows(xp_ref[b], ho, dy), wo, dx)
+                acc = acc + tap.astype(jnp.int32) * wdw_ref[dy, dx].astype(jnp.int32)[None, None, :]
+        q1 = jnp.round(acc.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+        h1_ref[...] = jnp.clip(q1.reshape(ho * wo, c), jnp.float32(lo1), 127.0).astype(jnp.int8)
+
+        # pointwise 1x1 + requant onto the next grid, rh2 rows per chunk
+        for r0 in range(0, ho, rh2):
+            h1c = h1_ref[r0 * wo : (r0 + rh2) * wo, :]
+            acc2 = jnp.dot(h1c, wpw_ref[...], preferred_element_type=jnp.int32)
+            q2 = jnp.round(acc2.astype(jnp.float32) * a2_ref[...] + b2_ref[...])
+            out = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
+            out_ref[b, r0 : r0 + rh2] = out.reshape(rh2, wo, cout)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "lo1", "lo2", "zp1_stored", "interpret"),
+)
+def fused_dw_pw(
+    x_q: jax.Array,  # (B, H, W, C) int8 stored on the dw conv's grid
+    wdw: jax.Array,  # (3, 3, C) int8 — depthwise kernel (one tap vec per dy,dx)
+    wpw: jax.Array,  # (C, Cout) int8 — pointwise kernel reshaped
+    a1: jax.Array, b1: jax.Array,  # (C,) dw requant-onto-pw-grid epilogue
+    a2: jax.Array, b2: jax.Array,  # (Cout,) pw requant-onto-next-grid epilogue
+    stride: int,
+    lo1: float, lo2: float,  # clip floors (ReLU folded)
+    zp1_stored: int,
+    interpret: bool = None,
+) -> jax.Array:
+    """One fused depthwise-separable block; int8 out at (H/s, W/s, Cout)."""
+    n, h, w, c = x_q.shape
+    cout = wpw.shape[1]
+    s = int(stride)
+    ho, wo = h // s, w // s
+    assert h % s == 0 and w % s == 0
+
+    bi = 1
+    per_image = max(h * w * c, ho * wo * cout)
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+        bi *= 2
+    rh2 = ho
+    while rh2 > 1 and rh2 * wo * max(c, cout) * 4 > 850_000:
+        for d in range(rh2 - 1, 0, -1):
+            if ho % d == 0:
+                rh2 = d
+                break
+
+    vec = lambda v: v.astype(jnp.float32)[None, :]
+    kernel = functools.partial(
+        _fused_dw_pw_kernel,
+        bi=bi, h=h, w=w, c=c, cout=cout, s=s, rh2=rh2,
+        lo1=float(lo1), lo2=float(lo2), zp1_stored=int(zp1_stored),
+    )
+    flops = 2 * n * ho * wo * (9 * c + c * cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bi,),
+        in_specs=[
+            pl.BlockSpec((bi, h, w, c), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bi, ho, wo, cout), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
+            pltpu.VMEM((ho * wo, c), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n * (h * w * c + ho * wo * cout),
+            transcendentals=0,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(x_q, wdw, wpw, vec(a1), vec(b1), vec(a2), vec(b2))

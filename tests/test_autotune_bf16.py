@@ -56,7 +56,11 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
 
     # fabricate a cache: convs -> bf16, fc -> tuned blocks, one block -> fused
     from quantized_tpu.engine.autotune import _block_signature
-    from quantized_tpu.engine.fused import FusedInt8BasicBlock, fusable
+    from quantized_tpu.engine.fused import (
+        FusedInt8BasicBlock,
+        FusedInt8BasicBlockDS,
+        fusable,
+    )
 
     table = {}
     for _, m in nnx.iter_modules(model):
@@ -89,7 +93,8 @@ def test_apply_cached_backends_roundtrip(rng, tmp_path):
     }
     assert fc_backends == {"pallas:128,256,512"}
     fused_blocks = [
-        m for _, m in nnx.iter_modules(model2) if isinstance(m, FusedInt8BasicBlock)
+        m for _, m in nnx.iter_modules(model2)
+        if isinstance(m, (FusedInt8BasicBlock, FusedInt8BasicBlockDS))
     ]
     assert len(fused_blocks) == len(fusable_sigs)  # every cached "fused" applied
     out = model2(x)

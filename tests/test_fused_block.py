@@ -191,3 +191,30 @@ def test_fuse_resident_blocks_resnet18_full():
         gi, wi = got[i].argmax(), want[i].argmax()
         assert gi == wi or want[i, wi] - want[i, gi] < 0.05
     assert isinstance(getattr(model.layer2, "0"), FusedInt8BasicBlockDS)
+
+
+def test_fused_dw_pw_mobilenet_bitexact():
+    """Fuse all depthwise->pointwise pairs of MobileNet-v1 and compare the
+    whole-net forward against the unfused engine."""
+    from quantized_tpu.engine import build_int8_mobilenet
+    from quantized_tpu.engine.fused import FusedInt8DwPw, fuse_mobilenet_blocks
+    from quantized_tpu.models.layers import QuantMeasure
+
+    m = get_model("mobilenet_quantized")(rngs=nnx.Rngs(0))
+    for _, mod in nnx.iter_modules(m):
+        if isinstance(mod, QuantMeasure):
+            mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+            mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+    m.eval()
+    eng = build_int8_mobilenet(m)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    want = np.asarray(eng(x))
+    n = fuse_mobilenet_blocks(eng)
+    # 13 dw->pw pairs; the last pw feeds the f32 head so 12 fuse
+    assert n == 12
+    got = np.asarray(eng(x))
+    np.testing.assert_array_equal(got, want)
+    # idempotent
+    assert fuse_mobilenet_blocks(eng) == 0
+    stages = [getattr(eng, f"stage{j}") for j in range(eng.num_fused_stages)]
+    assert sum(isinstance(s, FusedInt8DwPw) for s in stages) == 12

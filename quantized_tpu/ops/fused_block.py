@@ -55,47 +55,45 @@ def _fused_bottleneck_kernel(
     x_ref, w1_ref, w2_ref, w3_ref,
     a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref,
     out_ref,
-    h1p_ref, acc2_ref, h2_ref,
+    h1p_ref, acc2_ref,
     *, bi: int, h: int, w: int, c: int, cm: int, rh3: int,
     lo1: float, lo2: float, shift: float, zp2_stored: int,
     id_k: float, id_c: float,
 ):
-    """``bi`` images per grid step (amortizes per-step pipeline overhead on
-    the small-spatial deep stages). Per-image loops + row-chunked conv3
-    epilogue (``rh3`` rows at a time) keep the value stack well under the
-    16 MB VMEM budget — the whole-image formulation OOMed at 56x56x256."""
+    """``bi`` images per grid step. Every GEMM spans all ``bi`` images at
+    once (M = bi*h*w — per-image GEMMs starved the MXU: M=49 on the 7x7
+    stage lost 2.5x to the unfused path). conv2's taps accumulate into a
+    VALUE, not the scratch ref (no read-modify-write per tap); the int32
+    scratch only parks conv2's result across the conv3 row chunks."""
     hw = h * w
+    m = bi * hw
     zp = jnp.int8(zp2_stored)
 
-    for b in range(bi):
-        # conv1 (1x1) + fused requant onto conv2's grid
-        xb = x_ref[b].reshape(hw, c)
-        acc1 = jnp.dot(xb, w1_ref[...], preferred_element_type=jnp.int32)
-        q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
-        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
-        # halo borders carry the stored zero-point (dequantizes to exactly 0)
-        h1p_ref[b, 0, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
-        h1p_ref[b, h + 1, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
-        h1p_ref[b, :, 0, :] = jnp.full((h + 2, cm), zp, jnp.int8)
-        h1p_ref[b, :, w + 1, :] = jnp.full((h + 2, cm), zp, jnp.int8)
-        h1p_ref[b, 1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, cm)
+    # conv1 (1x1) over all bi images in one GEMM + requant onto conv2's grid
+    xb = x_ref[...].reshape(m, c)
+    acc1 = jnp.dot(xb, w1_ref[...], preferred_element_type=jnp.int32)
+    q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+    h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+    # halo borders carry the stored zero-point (dequantizes to exactly 0)
+    h1p_ref[:, 0, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
+    h1p_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
+    h1p_ref[:, :, 0, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
+    h1p_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
+    h1p_ref[:, 1 : h + 1, 1 : w + 1, :] = h1.reshape(bi, h, w, cm)
 
-    for b in range(bi):
-        # conv2 (3x3): 9 tap GEMMs into the int32 scratch, taps sliced
-        # straight into the MXU feed
-        acc2_ref[...] = jnp.zeros((hw, cm), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = h1p_ref[b, dy : dy + h, dx : dx + w, :].reshape(hw, cm)
-                acc2_ref[...] += jnp.dot(
-                    tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
-                )
-        q2 = jnp.round(acc2_ref[...].astype(jnp.float32) * a2_ref[...] + b2_ref[...])
-        h2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
+    # conv2 (3x3): 9 tap GEMMs (all images per tap), value accumulator
+    acc2 = jnp.zeros((m, cm), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, cm)
+            acc2 = acc2 + jnp.dot(tap, w2_ref[dy, dx], preferred_element_type=jnp.int32)
+    q2 = jnp.round(acc2.astype(jnp.float32) * a2_ref[...] + b2_ref[...])
+    acc2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
 
-        # conv3 (1x1) + identity + final requant, rh3 rows per chunk
+    # conv3 (1x1) + identity + final requant, rh3 rows per (image, chunk)
+    for b in range(bi):
         for r0 in range(0, h, rh3):
-            h2c = h2_ref[r0 * w : (r0 + rh3) * w, :]
+            h2c = acc2_ref[b * hw + r0 * w : b * hw + (r0 + rh3) * w, :]
             acc3 = jnp.dot(h2c, w3_ref[...], preferred_element_type=jnp.int32)
             y = acc3.astype(jnp.float32) * a3_ref[...] + b3_ref[...]
             xc = x_ref[b, r0 : r0 + rh3].reshape(rh3 * w, c)
@@ -129,11 +127,13 @@ def fused_bottleneck_s1(
     n, h, w, c = x_q.shape
     cm = w1.shape[1]
 
-    # images per grid step: amortize per-step pipeline overhead on the deep
-    # stages (small spatial grids) while keeping the x/out blocks <= ~0.8 MB
+    # images per grid step: every GEMM spans bi images (M = bi*h*w), so on
+    # the small-spatial deep stages bi is what keeps the MXU fed; bounded so
+    # the in+out blocks stay ~1.7 MB (VMEM also holds weights + the int32
+    # tap accumulator value)
     bi = 1
     per_image = h * w * c
-    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 1_700_000:
         bi *= 2
     m = bi * h * w
     # conv3 epilogue row chunk: bound the (rows*W, C) f32 value stack to
@@ -172,8 +172,7 @@ def fused_bottleneck_s1(
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((bi, h + 2, w + 2, cm), jnp.int8),
-            pltpu.VMEM((h * w, cm), jnp.int32),
-            pltpu.VMEM((h * w, cm), jnp.int8),
+            pltpu.VMEM((bi * h * w, cm), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -197,48 +196,46 @@ def _fused_basicblock_kernel(
     id_k: float, id_c: float,
 ):
     """3x3 -> 3x3 identity block, ``bi`` images per grid step. Both convs are
-    9-tap GEMMs over VMEM-halo-padded tiles; the input tile doubles as the
-    identity operand. Epilogues mirror Int8BasicBlock's minimal-op forms."""
+    9-tap GEMMs spanning ALL bi images (M = bi*h*w keeps the MXU fed), taps
+    over VMEM-halo-padded tiles, value accumulators; the input tile doubles
+    as the identity operand. Epilogues mirror Int8BasicBlock's forms."""
     hw = h * w
+    m = bi * hw
     zp1 = jnp.int8(zp1_stored)
     zp2 = jnp.int8(zp2_stored)
 
-    for b in range(bi):
-        # halo-pad the input (stored zero-point dequantizes to exactly 0)
-        xp_ref[b, 0, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
-        xp_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
-        xp_ref[b, :, 0, :] = jnp.full((h + 2, c), zp1, jnp.int8)
-        xp_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp1, jnp.int8)
-        xp_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+    # halo-pad the input (stored zero-point dequantizes to exactly 0)
+    xp_ref[:, 0, :, :] = jnp.full((bi, w + 2, c), zp1, jnp.int8)
+    xp_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, c), zp1, jnp.int8)
+    xp_ref[:, :, 0, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
+    xp_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
+    xp_ref[:, 1 : h + 1, 1 : w + 1, :] = x_ref[...]
 
-    for b in range(bi):
-        # conv1 (3x3) + fused requant onto conv2's grid (ReLU in the floor)
-        acc_ref[...] = jnp.zeros((hw, c), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = xp_ref[b, dy : dy + h, dx : dx + w, :].reshape(hw, c)
-                acc_ref[...] += jnp.dot(
-                    tap, w1_ref[dy, dx], preferred_element_type=jnp.int32
-                )
-        q1 = jnp.round(acc_ref[...].astype(jnp.float32) * a1_ref[...] + b1_ref[...])
-        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
-        h1p_ref[b, 0, :, :] = jnp.full((w + 2, c), zp2, jnp.int8)
-        h1p_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp2, jnp.int8)
-        h1p_ref[b, :, 0, :] = jnp.full((h + 2, c), zp2, jnp.int8)
-        h1p_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp2, jnp.int8)
-        h1p_ref[b, 1 : h + 1, 1 : w + 1, :] = h1.reshape(h, w, c)
+    # conv1 (3x3) + fused requant onto conv2's grid (ReLU in the floor)
+    acc1 = jnp.zeros((m, c), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = xp_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, c)
+            acc1 = acc1 + jnp.dot(tap, w1_ref[dy, dx], preferred_element_type=jnp.int32)
+    q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+    h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+    h1p_ref[:, 0, :, :] = jnp.full((bi, w + 2, c), zp2, jnp.int8)
+    h1p_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, c), zp2, jnp.int8)
+    h1p_ref[:, :, 0, :] = jnp.full((bi, h + 2, c), zp2, jnp.int8)
+    h1p_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, c), zp2, jnp.int8)
+    h1p_ref[:, 1 : h + 1, 1 : w + 1, :] = h1.reshape(bi, h, w, c)
 
+    # conv2 (3x3) into the int32 scratch park, then per-(image, chunk)
+    # identity + final requant
+    acc2 = jnp.zeros((m, c), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, c)
+            acc2 = acc2 + jnp.dot(tap, w2_ref[dy, dx], preferred_element_type=jnp.int32)
+    acc_ref[...] = acc2
     for b in range(bi):
-        # conv2 (3x3) + identity + final requant, rh2 rows per chunk
-        acc_ref[...] = jnp.zeros((hw, c), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = h1p_ref[b, dy : dy + h, dx : dx + w, :].reshape(hw, c)
-                acc_ref[...] += jnp.dot(
-                    tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
-                )
         for r0 in range(0, h, rh2):
-            accc = acc_ref[r0 * w : (r0 + rh2) * w, :]
+            accc = acc_ref[b * hw + r0 * w : b * hw + (r0 + rh2) * w, :]
             y = accc.astype(jnp.float32) * a2_ref[...] + b2_ref[...]
             xc = x_ref[b, r0 : r0 + rh2].reshape(rh2 * w, c)
             idq = xc.astype(jnp.float32) * jnp.float32(id_k) + jnp.float32(id_c)
@@ -270,7 +267,7 @@ def fused_basicblock_s1(
 
     bi = 1
     per_image = h * w * c
-    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 1_700_000:
         bi *= 2
     rh2 = h
     while rh2 > 1 and rh2 * w * c * 4 > 850_000:
@@ -305,7 +302,7 @@ def fused_basicblock_s1(
         scratch_shapes=[
             pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
             pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
-            pltpu.VMEM((h * w, c), jnp.int32),
+            pltpu.VMEM((bi * h * w, c), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -332,53 +329,66 @@ def _parity_cols(arr, wo: int, dx: int):
     return r[:, dx // 2 : wo + dx // 2, dx % 2]
 
 
+def _parity_rows_b(arr, ho: int, dy: int):
+    """Batched ``_parity_rows``: arr is (bi, 2*ho+2, W, C)."""
+    r = arr.reshape(arr.shape[0], ho + 1, 2, *arr.shape[2:])
+    return r[:, dy // 2 : ho + dy // 2, dy % 2]
+
+
+def _parity_cols_b(arr, wo: int, dx: int):
+    """Batched ``_parity_cols``: arr is (bi, R, 2*wo+2, C)."""
+    r = arr.reshape(*arr.shape[:2], wo + 1, 2, arr.shape[-1])
+    return r[:, :, dx // 2 : wo + dx // 2, dx % 2]
+
+
 def _fused_bottleneck_ds_kernel(
     x_ref, w1_ref, w2_ref, w3_ref, wd_ref,
     a1_ref, b1_ref, a2_ref, b2_ref, a3_ref, b3_ref, ad_ref, bd_ref,
     out_ref,
-    h1p_ref, acc2_ref, h2_ref,
+    h1p_ref, h2_ref,
     *, bi: int, h: int, w: int, c: int, cm: int, cout: int, s: int,
     rh1: int, rh3: int,
     lo1: float, lo2: float, shift: float, zp2_stored: int,
 ):
     """Downsample bottleneck (1x1 -> 3x3/s -> 1x1, shortcut 1x1/s conv),
-    ``bi`` images per grid step. conv2's stride-2 taps and the shortcut's
-    spatial subsample use parity reshapes (no strided VMEM loads)."""
+    ``bi`` images per grid step, every GEMM spanning all bi images. conv2's
+    stride-2 taps and the shortcut's spatial subsample use parity reshapes
+    (no strided VMEM loads)."""
     ho, wo = h // s, w // s
+    hwo = ho * wo
+    mo = bi * hwo
     zp = jnp.int8(zp2_stored)
 
-    for b in range(bi):
-        # conv1 (1x1) + requant onto conv2's grid, rh1 input rows per chunk
-        h1p_ref[b, 0, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
-        h1p_ref[b, h + 1, :, :] = jnp.full((w + 2, cm), zp, jnp.int8)
-        h1p_ref[b, :, 0, :] = jnp.full((h + 2, cm), zp, jnp.int8)
-        h1p_ref[b, :, w + 1, :] = jnp.full((h + 2, cm), zp, jnp.int8)
-        for r0 in range(0, h, rh1):
-            xc = x_ref[b, r0 : r0 + rh1].reshape(rh1 * w, c)
-            acc1 = jnp.dot(xc, w1_ref[...], preferred_element_type=jnp.int32)
-            q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
-            h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
-            h1p_ref[b, 1 + r0 : 1 + r0 + rh1, 1 : w + 1, :] = h1.reshape(rh1, w, cm)
+    # conv1 (1x1) + requant onto conv2's grid, rh1 input rows per chunk
+    h1p_ref[:, 0, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
+    h1p_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, cm), zp, jnp.int8)
+    h1p_ref[:, :, 0, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
+    h1p_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
+    for r0 in range(0, h, rh1):
+        xc = x_ref[:, r0 : r0 + rh1].reshape(bi * rh1 * w, c)
+        acc1 = jnp.dot(xc, w1_ref[...], preferred_element_type=jnp.int32)
+        q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+        h1p_ref[:, 1 + r0 : 1 + r0 + rh1, 1 : w + 1, :] = h1.reshape(bi, rh1, w, cm)
 
-    for b in range(bi):
-        # conv2 (3x3, stride s): 9 tap GEMMs into the int32 scratch
-        acc2_ref[...] = jnp.zeros((ho * wo, cm), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                if s == 1:
-                    tap = h1p_ref[b, dy : dy + h, dx : dx + w, :]
-                else:
-                    tap = _parity_cols(_parity_rows(h1p_ref[b], ho, dy), wo, dx)
-                acc2_ref[...] += jnp.dot(
-                    tap.reshape(ho * wo, cm), w2_ref[dy, dx],
-                    preferred_element_type=jnp.int32,
-                )
-        q2 = jnp.round(acc2_ref[...].astype(jnp.float32) * a2_ref[...] + b2_ref[...])
-        h2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
+    # conv2 (3x3, stride s): 9 tap GEMMs over all images, value accumulator
+    acc2 = jnp.zeros((mo, cm), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            if s == 1:
+                tap = h1p_ref[:, dy : dy + h, dx : dx + w, :]
+            else:
+                tap = _parity_cols_b(_parity_rows_b(h1p_ref[...], ho, dy), wo, dx)
+            acc2 = acc2 + jnp.dot(
+                tap.reshape(mo, cm), w2_ref[dy, dx], preferred_element_type=jnp.int32
+            )
+    q2 = jnp.round(acc2.astype(jnp.float32) * a2_ref[...] + b2_ref[...])
+    h2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
 
-        # conv3 (1x1) + shortcut conv + final requant, rh3 out rows per chunk
+    # conv3 (1x1) + shortcut conv + final requant, rh3 rows per (image, chunk)
+    for b in range(bi):
         for r0 in range(0, ho, rh3):
-            h2c = h2_ref[r0 * wo : (r0 + rh3) * wo, :]
+            h2c = h2_ref[b * hwo + r0 * wo : b * hwo + (r0 + rh3) * wo, :]
             acc3 = jnp.dot(h2c, w3_ref[...], preferred_element_type=jnp.int32)
             y = acc3.astype(jnp.float32) * a3_ref[...] + b3_ref[...]
             if s == 1:
@@ -426,11 +436,11 @@ def fused_bottleneck_ds(
 
     bi = 1
     per_image = max(h * w * c, ho * wo * cout)
-    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 1_700_000:
         bi *= 2
-    # conv1 row chunk bounds the (rows*W, Cm) f32/int32 value stack
+    # conv1 row chunk bounds the (bi*rows*W, Cm) f32/int32 value stack
     rh1 = h
-    while rh1 > 1 and rh1 * w * cm * 4 > 850_000:
+    while rh1 > 1 and bi * rh1 * w * cm * 4 > 1_700_000:
         for d in range(rh1 - 1, 0, -1):
             if h % d == 0:
                 rh1 = d
@@ -473,8 +483,7 @@ def fused_bottleneck_ds(
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((bi, h + 2, w + 2, cm), jnp.int8),
-            pltpu.VMEM((ho * wo, cm), jnp.int32),
-            pltpu.VMEM((ho * wo, cm), jnp.int8),
+            pltpu.VMEM((bi * ho * wo, cm), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -497,51 +506,50 @@ def _fused_basicblock_ds_kernel(
     *, bi: int, h: int, w: int, c: int, cm: int, s: int, rh2: int,
     lo1: float, shift: float, zp1_stored: int, zp2_stored: int,
 ):
-    """Downsample BasicBlock (3x3/s -> 3x3 with a 1x1/s shortcut conv):
-    conv1's strided taps use parity reshapes over the halo-padded input."""
+    """Downsample BasicBlock (3x3/s -> 3x3 with a 1x1/s shortcut conv),
+    every GEMM spanning all bi images; conv1's strided taps use parity
+    reshapes over the halo-padded input."""
     ho, wo = h // s, w // s
+    hwo = ho * wo
+    mo = bi * hwo
     zp1 = jnp.int8(zp1_stored)
     zp2 = jnp.int8(zp2_stored)
 
-    for b in range(bi):
-        xp_ref[b, 0, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
-        xp_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
-        xp_ref[b, :, 0, :] = jnp.full((h + 2, c), zp1, jnp.int8)
-        xp_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp1, jnp.int8)
-        xp_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+    xp_ref[:, 0, :, :] = jnp.full((bi, w + 2, c), zp1, jnp.int8)
+    xp_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, c), zp1, jnp.int8)
+    xp_ref[:, :, 0, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
+    xp_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
+    xp_ref[:, 1 : h + 1, 1 : w + 1, :] = x_ref[...]
 
-    for b in range(bi):
-        # conv1 (3x3, stride s) + requant onto conv2's grid
-        acc_ref[...] = jnp.zeros((ho * wo, cm), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                if s == 1:
-                    tap = xp_ref[b, dy : dy + h, dx : dx + w, :]
-                else:
-                    tap = _parity_cols(_parity_rows(xp_ref[b], ho, dy), wo, dx)
-                acc_ref[...] += jnp.dot(
-                    tap.reshape(ho * wo, c), w1_ref[dy, dx],
-                    preferred_element_type=jnp.int32,
-                )
-        q1 = jnp.round(acc_ref[...].astype(jnp.float32) * a1_ref[...] + b1_ref[...])
-        h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
-        h1p_ref[b, 0, :, :] = jnp.full((wo + 2, cm), zp2, jnp.int8)
-        h1p_ref[b, ho + 1, :, :] = jnp.full((wo + 2, cm), zp2, jnp.int8)
-        h1p_ref[b, :, 0, :] = jnp.full((ho + 2, cm), zp2, jnp.int8)
-        h1p_ref[b, :, wo + 1, :] = jnp.full((ho + 2, cm), zp2, jnp.int8)
-        h1p_ref[b, 1 : ho + 1, 1 : wo + 1, :] = h1.reshape(ho, wo, cm)
+    # conv1 (3x3, stride s) + requant onto conv2's grid
+    acc1 = jnp.zeros((mo, cm), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            if s == 1:
+                tap = xp_ref[:, dy : dy + h, dx : dx + w, :]
+            else:
+                tap = _parity_cols_b(_parity_rows_b(xp_ref[...], ho, dy), wo, dx)
+            acc1 = acc1 + jnp.dot(
+                tap.reshape(mo, c), w1_ref[dy, dx], preferred_element_type=jnp.int32
+            )
+    q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+    h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
+    h1p_ref[:, 0, :, :] = jnp.full((bi, wo + 2, cm), zp2, jnp.int8)
+    h1p_ref[:, ho + 1, :, :] = jnp.full((bi, wo + 2, cm), zp2, jnp.int8)
+    h1p_ref[:, :, 0, :] = jnp.full((bi, ho + 2, cm), zp2, jnp.int8)
+    h1p_ref[:, :, wo + 1, :] = jnp.full((bi, ho + 2, cm), zp2, jnp.int8)
+    h1p_ref[:, 1 : ho + 1, 1 : wo + 1, :] = h1.reshape(bi, ho, wo, cm)
 
+    # conv2 (3x3 s1) into the int32 park, then shortcut conv + final requant
+    acc2 = jnp.zeros((mo, cm), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = h1p_ref[:, dy : dy + ho, dx : dx + wo, :].reshape(mo, cm)
+            acc2 = acc2 + jnp.dot(tap, w2_ref[dy, dx], preferred_element_type=jnp.int32)
+    acc_ref[...] = acc2
     for b in range(bi):
-        # conv2 (3x3 s1) + shortcut conv + final requant
-        acc_ref[...] = jnp.zeros((ho * wo, cm), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = h1p_ref[b, dy : dy + ho, dx : dx + wo, :].reshape(ho * wo, cm)
-                acc_ref[...] += jnp.dot(
-                    tap, w2_ref[dy, dx], preferred_element_type=jnp.int32
-                )
         for r0 in range(0, ho, rh2):
-            accc = acc_ref[r0 * wo : (r0 + rh2) * wo, :]
+            accc = acc_ref[b * hwo + r0 * wo : b * hwo + (r0 + rh2) * wo, :]
             y = accc.astype(jnp.float32) * a2_ref[...] + b2_ref[...]
             if s == 1:
                 xc = x_ref[b, r0 : r0 + rh2]
@@ -585,7 +593,7 @@ def fused_basicblock_ds(
 
     bi = 1
     per_image = max(h * w * c, ho * wo * cm)
-    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 1_700_000:
         bi *= 2
     rh2 = ho
     while rh2 > 1 and rh2 * wo * max(cm, c * s) * 4 > 850_000:
@@ -622,7 +630,7 @@ def fused_basicblock_ds(
         scratch_shapes=[
             pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
             pltpu.VMEM((bi, ho + 2, wo + 2, cm), jnp.int8),
-            pltpu.VMEM((ho * wo, cm), jnp.int32),
+            pltpu.VMEM((bi * ho * wo, cm), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -649,31 +657,31 @@ def _fused_dw_pw_kernel(
     multiply-accumulates over the halo-padded input; its requantized output
     stays in VMEM and feeds the pointwise GEMM directly."""
     ho, wo = h // s, w // s
+    hwo = ho * wo
     zp1 = jnp.int8(zp1_stored)
 
-    for b in range(bi):
-        xp_ref[b, 0, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
-        xp_ref[b, h + 1, :, :] = jnp.full((w + 2, c), zp1, jnp.int8)
-        xp_ref[b, :, 0, :] = jnp.full((h + 2, c), zp1, jnp.int8)
-        xp_ref[b, :, w + 1, :] = jnp.full((h + 2, c), zp1, jnp.int8)
-        xp_ref[b, 1 : h + 1, 1 : w + 1, :] = x_ref[b]
+    xp_ref[:, 0, :, :] = jnp.full((bi, w + 2, c), zp1, jnp.int8)
+    xp_ref[:, h + 1, :, :] = jnp.full((bi, w + 2, c), zp1, jnp.int8)
+    xp_ref[:, :, 0, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
+    xp_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
+    xp_ref[:, 1 : h + 1, 1 : w + 1, :] = x_ref[...]
 
-    for b in range(bi):
-        # depthwise 3x3 (stride s): 9 broadcast multiply-accumulates
-        acc = jnp.zeros((ho, wo, c), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                if s == 1:
-                    tap = xp_ref[b, dy : dy + h, dx : dx + w, :]
-                else:
-                    tap = _parity_cols(_parity_rows(xp_ref[b], ho, dy), wo, dx)
-                acc = acc + tap.astype(jnp.int32) * wdw_ref[dy, dx].astype(jnp.int32)[None, None, :]
-        q1 = jnp.round(acc.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
-        h1_ref[...] = jnp.clip(q1.reshape(ho * wo, c), jnp.float32(lo1), 127.0).astype(jnp.int8)
+    # depthwise 3x3 (stride s): 9 broadcast multiply-accumulates, all images
+    acc = jnp.zeros((bi, ho, wo, c), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            if s == 1:
+                tap = xp_ref[:, dy : dy + h, dx : dx + w, :]
+            else:
+                tap = _parity_cols_b(_parity_rows_b(xp_ref[...], ho, dy), wo, dx)
+            acc = acc + tap.astype(jnp.int32) * wdw_ref[dy, dx].astype(jnp.int32)[None, None, None, :]
+    q1 = jnp.round(acc.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
+    h1_ref[...] = jnp.clip(q1.reshape(bi * hwo, c), jnp.float32(lo1), 127.0).astype(jnp.int8)
 
-        # pointwise 1x1 + requant onto the next grid, rh2 rows per chunk
+    # pointwise 1x1 + requant onto the next grid, rh2 rows per (image, chunk)
+    for b in range(bi):
         for r0 in range(0, ho, rh2):
-            h1c = h1_ref[r0 * wo : (r0 + rh2) * wo, :]
+            h1c = h1_ref[b * hwo + r0 * wo : b * hwo + (r0 + rh2) * wo, :]
             acc2 = jnp.dot(h1c, wpw_ref[...], preferred_element_type=jnp.int32)
             q2 = jnp.round(acc2.astype(jnp.float32) * a2_ref[...] + b2_ref[...])
             out = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
@@ -704,7 +712,7 @@ def fused_dw_pw(
 
     bi = 1
     per_image = max(h * w * c, ho * wo * cout)
-    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 820_000:
+    while bi < n and n % (bi * 2) == 0 and per_image * bi * 2 <= 1_700_000:
         bi *= 2
     rh2 = ho
     while rh2 > 1 and rh2 * wo * max(c, cout) * 4 > 850_000:
@@ -736,7 +744,7 @@ def fused_dw_pw(
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((bi, h + 2, w + 2, c), jnp.int8),
-            pltpu.VMEM((ho * wo, c), jnp.int8),
+            pltpu.VMEM((bi * ho * wo, c), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

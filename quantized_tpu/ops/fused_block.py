@@ -176,6 +176,9 @@ def fused_bottleneck_s1(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e has 128 MB VMEM/core; the compiler's default scoped-vmem
+            # limit is 16 MB and the batched value stacks exceed it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -306,6 +309,9 @@ def fused_basicblock_s1(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e has 128 MB VMEM/core; the compiler's default scoped-vmem
+            # limit is 16 MB and the batched value stacks exceed it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -487,6 +493,9 @@ def fused_bottleneck_ds(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e has 128 MB VMEM/core; the compiler's default scoped-vmem
+            # limit is 16 MB and the batched value stacks exceed it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -634,6 +643,9 @@ def fused_basicblock_ds(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e has 128 MB VMEM/core; the compiler's default scoped-vmem
+            # limit is 16 MB and the batched value stacks exceed it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -748,6 +760,9 @@ def fused_dw_pw(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e has 128 MB VMEM/core; the compiler's default scoped-vmem
+            # limit is 16 MB and the batched value stacks exceed it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -141,14 +141,54 @@ def autotune_resident(
 
     measured += _tune_maxpool(model, example_input, table)
     measured += _tune_stem(model, example_input, table, verbose=verbose)
-    measured += _tune_fc(model, table, verbose=verbose)
-    measured += _tune_blocks(model, table, verbose=verbose)
-    measured += _tune_mobilenet_pairs(model, table, verbose=verbose)
+    # extended races (fc GEMM forms, fused blocks, dw->pw pairs): ~15-40 min
+    # of tunnel compiles on a cold cache, and the fused kernels currently
+    # lose to the unfused composition (RESULTS.md "fused-block study") — so
+    # measure them only on explicit request; cached entries always apply.
+    if os.environ.get("QTPU_TUNE_EXTENDED") == "1":
+        measured += _tune_fc(model, table, verbose=verbose)
+        measured += _tune_blocks(model, table, verbose=verbose)
+        measured += _tune_mobilenet_pairs(model, table, verbose=verbose)
+    else:
+        _apply_cached_extended(model, table)
 
     if cache_path and measured:
         with open(cache_path, "w") as f:
             json.dump(cache, f, indent=1)
     return table
+
+
+def _apply_cached_extended(model: nnx.Module, table: Dict[str, str]) -> None:
+    """Apply fc/block/pair entries already in the cache without measuring."""
+    for _, lin in nnx.iter_modules(model):
+        if (
+            isinstance(lin, IntLinear)
+            and hasattr(lin, "last_input_shape")
+            and not lin.int4
+        ):
+            key = _fc_signature(lin)
+            if key in table:
+                lin.set_backend(table[key])
+    from quantized_tpu.engine.fused import fusable, fuse_block, fuse_mobilenet_blocks
+    from quantized_tpu.engine.int8_mobilenet import Int8MobileNet
+    from quantized_tpu.engine import int8_resident
+
+    if isinstance(model, int8_resident.Int8ResNet):
+        for i in range(model.num_stages):
+            stage = getattr(model, f"layer{i + 1}")
+            for j in range(stage.num_blocks):
+                blk = getattr(stage, str(j))
+                if (
+                    fusable(blk)
+                    and hasattr(blk.conv1, "last_input_shape")
+                    and table.get(_block_signature(blk)) == "fused"
+                ):
+                    setattr(stage, str(j), fuse_block(blk))
+    if isinstance(model, Int8MobileNet) and not getattr(model, "fused_stages", False):
+        fuse_mobilenet_blocks(
+            model,
+            decide=lambda d, p: table.get(_mobilenet_pair_signature(d, p)) == "fused",
+        )
 
 
 def _tune_maxpool(model: nnx.Module, example_input: jax.Array, table: Dict[str, str],

@@ -81,12 +81,18 @@ def _fused_bottleneck_kernel(
     h1p_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, cm), zp, jnp.int8)
     h1p_ref[:, 1 : h + 1, 1 : w + 1, :] = h1.reshape(bi, h, w, cm)
 
-    # conv2 (3x3): 9 tap GEMMs (all images per tap), value accumulator
-    acc2 = jnp.zeros((m, cm), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, cm)
-            acc2 = acc2 + jnp.dot(tap, w2_ref[dy, dx], preferred_element_type=jnp.int32)
+    # conv2 (3x3): taps concatenated along K into ONE (m, 9*cm) GEMM — nine
+    # K=cm dots leave the 128-deep MXU accumulation mostly idle at cm=64
+    # (layer1 measured 29 TOPS); K=9*cm packs it
+    taps = [
+        h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, cm)
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    tapc = jnp.concatenate(taps, axis=1)
+    acc2 = jnp.dot(
+        tapc, w2_ref[...].reshape(9 * cm, cm), preferred_element_type=jnp.int32
+    )
     q2 = jnp.round(acc2.astype(jnp.float32) * a2_ref[...] + b2_ref[...])
     acc2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
 
@@ -214,12 +220,19 @@ def _fused_basicblock_kernel(
     xp_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
     xp_ref[:, 1 : h + 1, 1 : w + 1, :] = x_ref[...]
 
-    # conv1 (3x3) + fused requant onto conv2's grid (ReLU in the floor)
-    acc1 = jnp.zeros((m, c), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = xp_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, c)
-            acc1 = acc1 + jnp.dot(tap, w1_ref[dy, dx], preferred_element_type=jnp.int32)
+    # conv1 (3x3) + fused requant onto conv2's grid (ReLU in the floor);
+    # taps concatenated along K into one (m, 9*c) GEMM (see bottleneck conv2)
+    tap1 = jnp.concatenate(
+        [
+            xp_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, c)
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=1,
+    )
+    acc1 = jnp.dot(
+        tap1, w1_ref[...].reshape(9 * c, c), preferred_element_type=jnp.int32
+    )
     q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
     h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
     h1p_ref[:, 0, :, :] = jnp.full((bi, w + 2, c), zp2, jnp.int8)
@@ -230,12 +243,17 @@ def _fused_basicblock_kernel(
 
     # conv2 (3x3) into the int32 scratch park, then per-(image, chunk)
     # identity + final requant
-    acc2 = jnp.zeros((m, c), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, c)
-            acc2 = acc2 + jnp.dot(tap, w2_ref[dy, dx], preferred_element_type=jnp.int32)
-    acc_ref[...] = acc2
+    tap2 = jnp.concatenate(
+        [
+            h1p_ref[:, dy : dy + h, dx : dx + w, :].reshape(m, c)
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=1,
+    )
+    acc_ref[...] = jnp.dot(
+        tap2, w2_ref[...].reshape(9 * c, c), preferred_element_type=jnp.int32
+    )
     for b in range(bi):
         for r0 in range(0, h, rh2):
             accc = acc_ref[b * hw + r0 * w : b * hw + (r0 + rh2) * w, :]
@@ -377,17 +395,19 @@ def _fused_bottleneck_ds_kernel(
         h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
         h1p_ref[:, 1 + r0 : 1 + r0 + rh1, 1 : w + 1, :] = h1.reshape(bi, rh1, w, cm)
 
-    # conv2 (3x3, stride s): 9 tap GEMMs over all images, value accumulator
-    acc2 = jnp.zeros((mo, cm), jnp.int32)
+    # conv2 (3x3, stride s): taps concatenated along K into one GEMM
+    taps = []
     for dy in range(3):
         for dx in range(3):
             if s == 1:
                 tap = h1p_ref[:, dy : dy + h, dx : dx + w, :]
             else:
                 tap = _parity_cols_b(_parity_rows_b(h1p_ref[...], ho, dy), wo, dx)
-            acc2 = acc2 + jnp.dot(
-                tap.reshape(mo, cm), w2_ref[dy, dx], preferred_element_type=jnp.int32
-            )
+            taps.append(tap.reshape(mo, cm))
+    acc2 = jnp.dot(
+        jnp.concatenate(taps, axis=1), w2_ref[...].reshape(9 * cm, cm),
+        preferred_element_type=jnp.int32,
+    )
     q2 = jnp.round(acc2.astype(jnp.float32) * a2_ref[...] + b2_ref[...])
     h2_ref[...] = jnp.clip(q2, jnp.float32(lo2), 127.0).astype(jnp.int8)
 
@@ -530,17 +550,19 @@ def _fused_basicblock_ds_kernel(
     xp_ref[:, :, w + 1, :] = jnp.full((bi, h + 2, c), zp1, jnp.int8)
     xp_ref[:, 1 : h + 1, 1 : w + 1, :] = x_ref[...]
 
-    # conv1 (3x3, stride s) + requant onto conv2's grid
-    acc1 = jnp.zeros((mo, cm), jnp.int32)
+    # conv1 (3x3, stride s): taps concatenated along K into one GEMM
+    taps1 = []
     for dy in range(3):
         for dx in range(3):
             if s == 1:
                 tap = xp_ref[:, dy : dy + h, dx : dx + w, :]
             else:
                 tap = _parity_cols_b(_parity_rows_b(xp_ref[...], ho, dy), wo, dx)
-            acc1 = acc1 + jnp.dot(
-                tap.reshape(mo, c), w1_ref[dy, dx], preferred_element_type=jnp.int32
-            )
+            taps1.append(tap.reshape(mo, c))
+    acc1 = jnp.dot(
+        jnp.concatenate(taps1, axis=1), w1_ref[...].reshape(9 * c, cm),
+        preferred_element_type=jnp.int32,
+    )
     q1 = jnp.round(acc1.astype(jnp.float32) * a1_ref[...] + b1_ref[...])
     h1 = jnp.clip(q1, jnp.float32(lo1), 127.0).astype(jnp.int8)
     h1p_ref[:, 0, :, :] = jnp.full((bi, wo + 2, cm), zp2, jnp.int8)
@@ -550,12 +572,17 @@ def _fused_basicblock_ds_kernel(
     h1p_ref[:, 1 : ho + 1, 1 : wo + 1, :] = h1.reshape(bi, ho, wo, cm)
 
     # conv2 (3x3 s1) into the int32 park, then shortcut conv + final requant
-    acc2 = jnp.zeros((mo, cm), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = h1p_ref[:, dy : dy + ho, dx : dx + wo, :].reshape(mo, cm)
-            acc2 = acc2 + jnp.dot(tap, w2_ref[dy, dx], preferred_element_type=jnp.int32)
-    acc_ref[...] = acc2
+    tap2 = jnp.concatenate(
+        [
+            h1p_ref[:, dy : dy + ho, dx : dx + wo, :].reshape(mo, cm)
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=1,
+    )
+    acc_ref[...] = jnp.dot(
+        tap2, w2_ref[...].reshape(9 * cm, cm), preferred_element_type=jnp.int32
+    )
     for b in range(bi):
         for r0 in range(0, ho, rh2):
             accc = acc_ref[b * hwo + r0 * wo : b * hwo + (r0 + rh2) * wo, :]

@@ -18,8 +18,8 @@ from __future__ import annotations
 import json
 import sys
 
-BATCH = 128  # measured best after minimal-op epilogues: 15283 img/s @128
-# (autotuned), 13873 @96, 13171 @160, 14061 @192, 14527 @256, 14642 @384 (v5e)
+BATCH = 128  # measured best (RESULTS.md batch sweep, tuned at each size):
+# 16531 @128, 14250 @192, 15816 @256; round-2 headline 16628 @128 (v5e)
 
 
 def _model_throughput(model, x):

@@ -15,9 +15,12 @@ momentum, lr steps at 50%/75% of the run — resnet_quantized.py ~L188-215's
 {0: .1, 81: .01, 122: .001} shape): round 1 ran a flat lr=0.1 for 3 epochs,
 which diverges on this set (VERDICT r1 missing #3 — top-1 stuck at chance);
 lr=0.05 with decay trains the synthetic set past 60% val top-1, so the mode
-deltas are measured at signal, not at chance. Default is 8 epochs: ~90-93%
-val top-1 — above chance but below the 100% ceiling this small set reaches
-at 12 epochs, where mode deltas would saturate back to vacuous +0.00s.
+deltas are measured at signal, not at chance. The synthetic stand-in embeds
+~12% boundary-ambiguous samples (datasets.py _synthetic), pinning its Bayes
+val ceiling at ~94% — so the default 8-epoch run converges into a stable
+90-93% band where mode deltas and prediction agreement stay measurable
+(recorded 2026-08-21: fake-quant 91.02%, every int mode within +-0.2 pt,
+agreement 98-100% — RESULTS.md).
 
 Usage: python bench/accuracy_delta.py [epochs] [batch]  (CPU-friendly)
 """
@@ -112,6 +115,12 @@ def main():
         tuned, val.batches(BATCH))
     results["int4-w"], preds["int4-w"] = top1(
         convert_to_int(fresh(), weight_bits=4), val.batches(BATCH))
+    # strict-parity mode: the reference's own per-tensor affine weight grid
+    # executed in true int8 (engine/strict.py) — top-1 must be identical to
+    # fake-quant by construction (bit-identical integers)
+    results["int8-strict"], preds["int8-strict"] = top1(
+        convert_to_int(fresh(), weight_bits=8, weight_quant="per_tensor"),
+        val.batches(BATCH))
 
     base = results["fake-quant"]
     base_pred = preds["fake-quant"]

@@ -213,12 +213,13 @@ def main(argv=None):
         if args.tp_explicit:
             if mesh is None:
                 raise SystemExit("--tp-explicit requires --mesh-model-parallel")
-            from quantized_tpu.engine.int_layers import IntLinear
-            from quantized_tpu.parallel.tp_engine import ExplicitTPFc
+            from quantized_tpu.parallel.tp_engine import apply_explicit_tp
 
-            if isinstance(getattr(model, "fc", None), IntLinear):
-                model.fc = ExplicitTPFc(model.fc, mesh)
-                logger.info("fc routed through explicit reduce-scatter TP")
+            n = apply_explicit_tp(model, mesh)
+            logger.info(
+                "explicit TP wired: fc reduce-scatter head + %d last-stage"
+                " all-gather convs", n,
+            )
 
     if args.serve:
         from quantized_tpu.engine.server import serve

@@ -119,10 +119,24 @@ def _synthetic(name: str, split: str, transform) -> ArrayDataset:
     yy = np.linspace(-1, 1, h)[None, :, None, None]
     xx = np.linspace(-1, 1, w)[None, None, :, None]
     angle = 2 * np.pi * np.arange(classes) / classes
-    pattern = 24 * (np.cos(angle)[labels, None, None, None] * yy + np.sin(angle)[labels, None, None, None] * xx)
-    images = np.clip(
-        base[labels] + pattern + rng.normal(0, 16, (n, h, w, c)), 0, 255
-    ).astype(np.uint8)
+
+    def signature(lab: np.ndarray) -> np.ndarray:
+        pattern = 24 * (
+            np.cos(angle)[lab, None, None, None] * yy
+            + np.sin(angle)[lab, None, None, None] * xx
+        )
+        return base[lab] + pattern
+    sig = signature(labels)
+    # ~12% of samples blend their class signature with a second class at a
+    # mixing weight straddling 0.5 — the half that lean toward the OTHER
+    # class are unrecoverable, pinning the Bayes val top-1 ceiling at ~94%
+    # instead of a vacuous 100% (mode deltas stay measurable; VERDICT r2
+    # missing #7). Deterministic per split like everything else here.
+    n_amb = int(0.12 * n)
+    other = (labels[:n_amb] + rng.integers(1, classes, n_amb)) % classes
+    lam = rng.uniform(0.3, 0.7, (n_amb, 1, 1, 1))
+    sig[:n_amb] = lam * sig[:n_amb] + (1.0 - lam) * signature(other)
+    images = np.clip(sig + rng.normal(0, 16, (n, h, w, c)), 0, 255).astype(np.uint8)
     return ArrayDataset(images, labels, transform, synthetic=True, name=f"{name}-synthetic")
 
 

@@ -131,6 +131,9 @@ def autotune_resident(
                     times[b] = _time_backend(conv, b)
                 except Exception as e:  # pragma: no cover - device-specific
                     logger.warning("backend %s failed for %s: %s", b, key, e)
+            if not times:  # every candidate failed: keep default, don't abort
+                table[key] = conv.backend
+                continue
             best = min(times, key=times.get)
             table[key] = best
             measured += 1
@@ -255,6 +258,10 @@ def _tune_stem(model: nnx.Module, example_input: jax.Array, table: Dict[str, str
             except Exception as e:  # pragma: no cover - device-specific
                 logger.warning("stem backend %s failed: %s", b, e)
         stem.backend = prev
+        if not times:  # every candidate failed: keep default, don't abort
+            table[key] = prev
+            stem.set_backend(prev)
+            return 0
         table[key] = min(times, key=times.get)
         if verbose:
             desc = " ".join(f"{b}={t*1e3:.3f}ms" for b, t in sorted(times.items()))
@@ -325,6 +332,11 @@ def _tune_fc(model: nnx.Module, table: Dict[str, str], verbose: bool = True) -> 
                     times[b] = _time_fc_backend(lin, b)
                 except Exception as e:  # pragma: no cover - device-specific
                     logger.warning("fc backend %s failed for %s: %s", b, key, e)
+            if not times:  # mirror the block tuners: log and fall back
+                logger.warning("every fc backend failed for %s; keeping xla", key)
+                table[key] = "xla"
+                lin.set_backend(table[key])
+                continue
             table[key] = min(times, key=times.get)
             measured += 1
             if verbose:
@@ -409,7 +421,12 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
     if not table:
         return False
     _record_shapes(model, example_input)
+    # Base completeness (conv/pool/stem) gates the normal tuned-cache fast
+    # path; extended signatures (fc:/block:/dwpw:) are only *measured* under
+    # QTPU_TUNE_EXTENDED=1, so their absence must not force a re-tune of a
+    # fully-tuned base cache (advisor r2 finding #1).
     complete = True
+    extended_complete = True
     for _, m in nnx.iter_modules(model):
         if isinstance(m, IntConv2d) and hasattr(m, "last_input_shape"):
             key = _sig_key(conv_signature(m))
@@ -422,7 +439,7 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
             if key in table:
                 m.set_backend(table[key])
             else:
-                complete = False
+                extended_complete = False
     # pool impls: load every cached maxpool entry into the process table
     from quantized_tpu.engine import int8_resident
 
@@ -450,7 +467,7 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
                     continue
                 key = _block_signature(blk)
                 if key not in table:
-                    complete = False
+                    extended_complete = False
                 elif table[key] == "fused":
                     setattr(stage, str(j), fuse_block(blk))
     # mobilenet dw->pw pair decisions
@@ -460,17 +477,26 @@ def apply_cached_backends(model: nnx.Module, example_input: jax.Array,
     if isinstance(model, Int8MobileNet) and not getattr(model, "fused_stages", False):
         convs = [getattr(model, f"conv{i}") for i in range(model.num_convs)]
         grids = model.requant_grids
-        for i in range(model.num_convs - 1):
-            if (
-                pair_fusable(convs[i], convs[i + 1], grids[i], grids[i + 1])
-                and hasattr(convs[i], "last_input_shape")
-                and _mobilenet_pair_signature(convs[i], convs[i + 1]) not in table
-            ):
-                complete = False
-        fuse_mobilenet_blocks(
-            model,
-            decide=lambda d, p: table.get(_mobilenet_pair_signature(d, p)) == "fused",
+        pairs_missing = any(
+            pair_fusable(convs[i], convs[i + 1], grids[i], grids[i + 1])
+            and hasattr(convs[i], "last_input_shape")
+            and _mobilenet_pair_signature(convs[i], convs[i + 1]) not in table
+            for i in range(model.num_convs - 1)
         )
+        if pairs_missing:
+            extended_complete = False
+        # Only stage the model when every pair has a persisted verdict (or we
+        # are not in extended mode and so will never measure one): staging
+        # sets fused_stages, which makes _tune_mobilenet_pairs skip the model
+        # entirely and the missing races silently default to unfused
+        # (advisor r2 finding #2).
+        if not (pairs_missing and os.environ.get("QTPU_TUNE_EXTENDED") == "1"):
+            fuse_mobilenet_blocks(
+                model,
+                decide=lambda d, p: table.get(_mobilenet_pair_signature(d, p)) == "fused",
+            )
+    if os.environ.get("QTPU_TUNE_EXTENDED") == "1":
+        return complete and extended_complete
     return complete
 
 

@@ -408,6 +408,13 @@ def fuse_mobilenet_blocks(model, decide=None) -> int:
             i += 1
     for j, st in enumerate(stages):
         setattr(model, f"stage{j}", st)
+    # Drop the flat conv{i} attributes: every conv now lives either inside a
+    # _ConvStage (same object) or as copied Params in a FusedInt8DwPw —
+    # keeping them would duplicate weight arrays in model state (pushed to
+    # the device twice by put_model) and leave dead modules for
+    # _record_shapes to iterate.
+    for i in range(model.num_convs):
+        delattr(model, f"conv{i}")
     model.num_fused_stages = len(stages)
     model.fused_stages = True
     return fused

@@ -36,15 +36,16 @@ class Int8MobileNet(nnx.Module):
             setattr(self, f"conv{i}", c)
         self.num_convs = len(convs)
         self.requant_grids = grids  # grids[i] = conv i's output grid (None -> f32)
+        self.input_grid = convs[0].grid  # survives fuse_mobilenet_blocks
         self.fc = fc
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return self._forward_q(quantize_input_stored(x, *self.conv0.grid))
+        return self._forward_q(quantize_input_stored(x, *self.input_grid))
 
     def run_u8(self, u8: jax.Array, mean=None, std=None) -> jax.Array:
         from quantized_tpu.engine.int8_resident import u8_to_stored
 
-        return self._forward_q(u8_to_stored(u8, self.conv0.grid, mean, std))
+        return self._forward_q(u8_to_stored(u8, self.input_grid, mean, std))
 
     def _forward_q(self, x_q: jax.Array) -> jax.Array:
         h = x_q

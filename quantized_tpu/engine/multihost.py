@@ -1,0 +1,165 @@
+"""Multi-host continuous-batching serving (BASELINE config #5).
+
+The reference has no serving or networked runtime at all (SURVEY.md #22/#23:
+single-process ``nn.DataParallel`` only), so this is green-field TPU
+capability: every host runs its own admission queue and drains it into the
+*process-local shard* of one global SPMD forward — activations sharded over
+the mesh's ``data`` axis (one shard per host, DP over DCN), weights TP-sharded
+over the ``model`` axis (ICI). GSPMD inserts the collectives.
+
+The one genuinely distributed problem continuous batching adds is *step
+agreement*: every process must enter the same jitted computation the same
+number of times with the same bucket size, while requests arrive at each host
+independently. ``MultiHostBatcher`` solves it with a per-step count allgather
+(``multihost_utils.process_allgather``): hosts exchange pending counts, take
+the max, and all run that bucket (hosts with fewer pending pad — padded rows
+never mix into real rows, each image's logits depend only on that image).
+Shutdown uses the same channel: the loop exits only when every host reports
+stopped-and-drained, so no host leaves a collective hanging.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+
+from quantized_tpu.engine.batching import ContinuousBatcher
+
+logger = logging.getLogger(__name__)
+
+
+class HostShardedExecutor:
+    """Global-SPMD forward fed by process-local batches.
+
+    Each process passes its local rows (its ``data``-axis shard); the global
+    batch is ``local_batch * process_count``. Weights are TP-sharded over the
+    mesh's ``model`` axis at construction (same rules as ``IntExecutor``).
+    Returns this host's rows of the logits as numpy.
+    """
+
+    def __init__(self, model, mesh, ingest: str = "f32"):
+        from flax import nnx
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from quantized_tpu.engine.executor import enable_compilation_cache
+        from quantized_tpu.parallel.mesh import DATA_AXIS
+        from quantized_tpu.parallel.sharding import shard_model_state
+
+        enable_compilation_cache()
+        self.mesh = mesh
+        self.ingest = ingest
+        if ingest == "u8" and not hasattr(model, "run_u8"):
+            raise ValueError(f"{type(model).__name__} has no uint8 ingest path")
+        state = nnx.state(model)
+        nnx.update(model, shard_model_state(state, mesh))
+        self._graphdef, self._state = nnx.split(model)
+        self._in_spec = P(DATA_AXIS, None, None, None)
+        self._out_spec = P(DATA_AXIS, None)
+        out_sharding = NamedSharding(mesh, self._out_spec)
+
+        def forward(state, x):
+            m = nnx.merge(self._graphdef, state)
+            y = m.run_u8(x) if ingest == "u8" else m(x)
+            return jax.lax.with_sharding_constraint(y, out_sharding)
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, local_batch: np.ndarray) -> np.ndarray:
+        from jax.experimental import multihost_utils
+
+        if jax.process_count() == 1:
+            # degenerate single-host case: plain data-sharded pjit
+            from jax.sharding import NamedSharding
+
+            x = jax.device_put(
+                local_batch, NamedSharding(self.mesh, self._in_spec)
+            )
+            return np.asarray(self._forward(self._state, x))
+        xg = multihost_utils.host_local_array_to_global_array(
+            np.asarray(local_batch), self.mesh, self._in_spec
+        )
+        out = self._forward(self._state, xg)
+        local = multihost_utils.global_array_to_host_local_array(
+            out, self.mesh, self._out_spec
+        )
+        return np.asarray(local)
+
+
+class MultiHostBatcher(ContinuousBatcher):
+    """Per-host continuous batcher over a global SPMD executor.
+
+    ``batch_sizes`` are *per-host* bucket sizes (global batch = bucket x
+    process_count). The scheduler loop is the parent's, with two coordinated
+    points: bucket agreement before each step and drained agreement before
+    shutdown (see module docstring).
+    """
+
+    def warmup(self):
+        # every process precompiles every bucket together (collective compiles)
+        for b in self.batch_sizes:
+            self.executor(np.zeros((b, *self.input_shape), self.dtype))
+        return self
+
+    def _coordinate(self, n_local: int, done_local: bool) -> Tuple[int, bool]:
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([n_local, int(done_local)], np.int32)
+        ).reshape(jax.process_count(), 2)
+        return int(flags[:, 0].max()), bool(flags[:, 1].min())
+
+    def _loop(self):
+        while True:
+            reqs = self._drain(self.batch_sizes[-1])
+            done_local = self._stop.is_set() and self._queue.empty() and not reqs
+            n_global, done_all = self._coordinate(len(reqs), done_local)
+            if done_all:
+                break
+            if n_global == 0:
+                continue
+            self.steps += 1
+            bucket = self._pick_bucket(n_global)
+            batch = np.zeros((bucket, *self.input_shape), self.dtype)
+            for i, r in enumerate(reqs):
+                batch[i] = r.image
+            try:
+                logits = np.asarray(self.executor(batch))
+            except Exception as e:  # pragma: no cover
+                for r in reqs:
+                    r.future.set_exception(e)
+                continue
+            t_done = __import__("time").perf_counter()
+            for i, r in enumerate(reqs):
+                r.future.set_result(logits[i])
+                self.latencies_ms.append((t_done - r.t_submit) * 1e3)
+            self.batches_run += 1
+            self.requests_done += len(reqs)
+            self.padded_slots += bucket - len(reqs)
+
+
+def serve_multihost(
+    model,
+    mesh,
+    batch_sizes: Sequence[int] = (1, 8, 32),
+    input_shape=None,
+    ingest: str = "f32",
+) -> MultiHostBatcher:
+    """Bring up this host's shard of the global serving engine: returns a
+    started ``MultiHostBatcher`` whose submit() admits this host's requests.
+    Call on every process of an initialized ``jax.distributed`` runtime with
+    the same mesh/buckets."""
+    if input_shape is None:
+        size = getattr(model, "input_size", 224)
+        input_shape = (size, size, 3)
+    ex = HostShardedExecutor(model, mesh, ingest=ingest)
+    dtype = np.uint8 if ingest == "u8" else np.float32
+    batcher = MultiHostBatcher(ex, input_shape, batch_sizes, dtype=dtype)
+    batcher.warmup()
+    logger.info(
+        "multihost server up: process %d/%d buckets=%s input=%s",
+        jax.process_index(), jax.process_count(), tuple(batch_sizes), input_shape,
+    )
+    return batcher.start()

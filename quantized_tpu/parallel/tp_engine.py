@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import nnx
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -90,6 +91,80 @@ def tp_int8_linear_rs(
         out_specs=P(DATA_AXIS, MODEL_AXIS),
         check_vma=False,
     )(x_q, w_kn, alpha, beta)
+
+
+class ExplicitTPConv(nnx.Module):
+    """Routes one ``IntConv2d`` through the explicit all-gather TP form
+    (out-channel sharding over 'model'). Supports the three epilogue call
+    forms the resident blocks use (relu, ``out_requant``, ``out_prescale``)
+    by folding the prescale into alpha/beta before the sharded conv — the
+    same algebra as ``IntConv2d.run_q``. The inner conv stays an nnx
+    submodule so its weights remain engine state (shardable, not jit
+    constants); the mesh is static graphdef metadata."""
+
+    def __init__(self, conv, mesh: Mesh):
+        self.conv = conv
+        self.mesh = mesh
+
+    @property
+    def grid(self):
+        return self.conv.grid
+
+    @property
+    def stride(self):
+        return self.conv.stride
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from quantized_tpu.engine.int_layers import quantize_input_stored
+
+        x_q = quantize_input_stored(x, self.conv.act_scale, self.conv.act_zero_point)
+        return self.run_q(x_q, relu=self.conv.relu)
+
+    def run_q(self, x_q, relu=None, out_requant=None, out_prescale=None):
+        conv = self.conv
+        relu = conv.relu if relu is None else relu
+        alpha, beta = conv.alpha.get_value(), conv.beta.get_value()
+        if out_prescale is not None:
+            assert out_requant is None and not relu
+            scale, shift = out_prescale
+            inv = jnp.float32(1.0 / scale)
+            alpha = alpha * inv
+            beta = beta * inv + jnp.float32(shift)
+        w = conv.weights()
+        d = self.mesh.shape[MODEL_AXIS]
+        cout = w.shape[-1]
+        assert cout % d == 0, f"Cout {cout} not divisible by model axis {d}"
+        return tp_int8_conv(
+            self.mesh, x_q, w, alpha, beta, conv.stride, conv.padding,
+            conv.stored_zp, relu=relu, out_requant=out_requant,
+        )
+
+
+def apply_explicit_tp(model, mesh: Mesh, conv_stage: str = "last") -> int:
+    """Wire the explicit-collective TP path into a resident engine model:
+    the fc head (reduce-scatter form) plus every conv of one stage
+    (all-gather form; default: the last stage — smallest activations,
+    biggest channels, so the int8 gather is cheapest relative to compute).
+    Returns the number of convs wrapped. CLI: ``--tp-explicit``."""
+    from quantized_tpu.engine.int_layers import IntConv2d, IntLinear
+
+    wrapped = 0
+    num_stages = getattr(model, "num_stages", 0)
+    stage = None
+    if num_stages and conv_stage is not None:
+        idx = num_stages if conv_stage == "last" else int(conv_stage)
+        stage = getattr(model, f"layer{idx}", None)
+    if stage is not None and hasattr(stage, "num_blocks"):
+        for j in range(stage.num_blocks):
+            blk = getattr(stage, str(j))
+            for name in ("conv1", "conv2", "conv3", "downsample"):
+                conv = getattr(blk, name, None)
+                if isinstance(conv, IntConv2d) and conv.groups == 1:
+                    setattr(blk, name, ExplicitTPConv(conv, mesh))
+                    wrapped += 1
+    if isinstance(getattr(model, "fc", None), IntLinear):
+        model.fc = ExplicitTPFc(model.fc, mesh)
+    return wrapped
 
 
 class ExplicitTPFc:

@@ -77,3 +77,56 @@ def per_iter_time(
     ts = [_time_call(run, args) for _ in range(reps)]
     ts.sort()
     return max(ts[len(ts) // 2] - TUNNEL_OVERHEAD_S, 1e-9 * loops) / loops
+
+
+def chain_time(
+    fn: Callable,
+    x,
+    *consts,
+    target_secs: float = 0.5,
+    reps: int = 3,
+) -> float:
+    """Seconds per application of ``fn`` in the chain x -> fn(x) -> ... .
+
+    For shape-preserving ``fn`` this is the honest form of ``per_iter_time``:
+    the output IS the next input, so (a) fn's output must fully materialize
+    (no fused-away writes) and (b) no extra perturbation pass exists. The
+    round-2 probes' ``x + carry`` trick added a full elementwise pass to
+    every measurement and let XLA reduce un-materialized outputs — which is
+    how a "1457 GB/s duplex" rate exceeded the chip's HBM (see RESULTS.md
+    round-3 DMA study). Extra ``consts`` are passed through unchanged.
+    """
+
+    def make(loops):
+        @jax.jit
+        def run(x0, *cs):
+            y, _ = jax.lax.scan(lambda c, _: (fn(c, *cs), None), x0, None, length=loops)
+            # full reduction (amortized once per run): a sliced reduce would
+            # invite dead-code elimination of the computation itself
+            return jnp.max(y).astype(jnp.float32)
+
+        return run
+
+    from quantized_tpu.engine.executor import enable_compilation_cache
+
+    enable_compilation_cache()
+    probe = 32
+    run = make(probe)
+    float(run(x, *consts))  # compile + warm (value fetch = the only barrier)
+    t0 = time.perf_counter()
+    float(run(x, *consts))
+    t_probe = time.perf_counter() - t0
+    est = max((t_probe - TUNNEL_OVERHEAD_S) / probe, 1e-7)
+    loops = min(max(probe, int(target_secs / est)), MAX_LOOPS)
+    if loops > probe * 1.5:
+        run = make(loops)
+        float(run(x, *consts))
+    else:
+        loops = probe
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x, *consts))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(ts[len(ts) // 2] - TUNNEL_OVERHEAD_S, 1e-9 * loops) / loops

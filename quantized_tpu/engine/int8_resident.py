@@ -139,7 +139,8 @@ class _Int8Stage(nnx.Module):
 
     def __call__(self, x_q: jax.Array) -> jax.Array:
         for i in range(self.num_blocks):
-            x_q = getattr(self, str(i))(x_q)
+            with jax.named_scope(f"block{i}"):
+                x_q = getattr(self, str(i))(x_q)
         return x_q
 
 
@@ -352,15 +353,20 @@ class Int8ResNet(nnx.Module):
         return self._forward_q(u8_to_stored(u8, self.stem.grid, mean, std))
 
     def _forward_q(self, x_q: jax.Array) -> jax.Array:
-        x_q = self.stem.run_q(x_q, relu=True, out_requant=self.stem_out_grid)
-        if self.imagenet_pool:
-            # max commutes with the monotone uint8 affine map: pool on int8.
-            x_q = maxpool_3x3_s2_int8(x_q)
+        # named scopes flow into XProf op names so per-stage time/bandwidth
+        # is attributable from one whole-net trace (bench/xprof_mxu.py)
+        with jax.named_scope("stem"):
+            x_q = self.stem.run_q(x_q, relu=True, out_requant=self.stem_out_grid)
+            if self.imagenet_pool:
+                # max commutes with the monotone uint8 affine map: pool on int8.
+                x_q = maxpool_3x3_s2_int8(x_q)
         h = x_q
         for i in range(self.num_stages):
-            h = getattr(self, f"layer{i + 1}")(h)
-        h = jnp.mean(h, axis=(1, 2))  # f32 from the last block
-        return self.fc(h)
+            with jax.named_scope(f"layer{i + 1}"):
+                h = getattr(self, f"layer{i + 1}")(h)
+        with jax.named_scope("head"):
+            h = jnp.mean(h, axis=(1, 2))  # f32 from the last block
+            return self.fc(h)
 
 
 def _block_convs(block) -> Sequence[Tuple[str, str]]:

@@ -30,6 +30,11 @@ def _model_throughput(model, x):
 
     graphdef, state = nnx.split(model)
 
+    # Input delivery raced 2026-08-21 (round 3): the loop-carried perturbation
+    # costs ~0.1 ms less than pre-staged batches + dynamic-slice (the gather
+    # does NOT fuse into the quantize consumer), and a loop-invariant input
+    # lets XLA hoist the entire model out of the scan (measured 95M img/s).
+    # This form stays the contract.
     def step(c, state, x):
         m = nnx.merge(graphdef, state)
         y = m(x + c * 1e-6)  # loop-carried perturbation defeats CSE/hoisting

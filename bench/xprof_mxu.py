@@ -176,9 +176,9 @@ def main():
         if row.get("Host/device") != "Device":
             continue
         name = str(row.get("Operation Name", ""))
-        m = re.search(r"(stem|layer\d+|head)(?:/(block\d+))?", name)
+        m = re.search(r"(stem|layer\d+|head)(?:/(block\d+))?(?:/(c\d|ds))?", name)
         key = m.group(1) if m else ("(idle)" if name == "IDLE" else "(other)")
-        bkey = f"{m.group(1)}/{m.group(2)}" if m and m.group(2) else key
+        bkey = "/".join(g for g in (m.groups() if m else ()) if g) or key
         t_us = float(row.get("Total self-time (us)") or 0.0)
         bw = float(row.get("Measured Memory BW (GBytes/Sec)") or 0.0)
         fr = float(row.get("Normalized FLOP Rate (FLOPs/s)") or 0.0)  # GFLOP/s

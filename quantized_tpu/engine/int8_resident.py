@@ -80,16 +80,22 @@ class Int8Bottleneck(nnx.Module):
         self.out_grid = out_grid
 
     def __call__(self, x_q: jax.Array) -> jax.Array:
-        h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
-        h = self.conv2.run_q(h, relu=True, out_requant=self.conv3.grid)
+        # per-conv named scopes: XProf framework_op_stats groups by op name,
+        # so without these every conv in the block lands in one row
+        with jax.named_scope("c1"):
+            h = self.conv1.run_q(x_q, relu=True, out_requant=self.conv2.grid)
+        with jax.named_scope("c2"):
+            h = self.conv2.run_q(h, relu=True, out_requant=self.conv3.grid)
         if self.out_grid is not None:
             s_out, zp_out = self.out_grid
             shift = zp_out - 128
-            acc = self.conv3.run_q(h, relu=False, out_prescale=(s_out, float(shift)))
+            with jax.named_scope("c3"):
+                acc = self.conv3.run_q(h, relu=False, out_prescale=(s_out, float(shift)))
             if self.downsample is not None:
                 # downsample epilogue was built on conv1's grid (see
                 # build_int8_resident): consumes x_q directly, no regrid pass
-                idq = self.downsample.run_q(x_q, relu=False, out_prescale=(s_out, 0.0))
+                with jax.named_scope("ds"):
+                    idq = self.downsample.run_q(x_q, relu=False, out_prescale=(s_out, 0.0))
             else:
                 idq = _prescaled_identity(x_q, self.conv1.grid, s_out)
             return _residual_requant_prescaled(acc, idq, shift)

@@ -156,9 +156,12 @@ def int4_conv_s4(
 
     # conv_general_dilated requires matching operand dtypes (unlike
     # dot_general, which accepts s8 x s4) — upcast the nibble planes to int8
-    # inside the jit; XLA keeps the HBM read at the packed bytes and does the
-    # widening on-chip (verified: matches int8-conv time at half the weight
-    # bytes in the weight-bound regime)
+    # inside the jit so HBM reads only the packed bytes. Measured round 3
+    # (bench/int4_weightbound.py conv rows, RESULTS.md): unlike the GEMM
+    # forms (1.5-2.1x wins), the two-half-conv overhead eats the bandwidth
+    # saving at conv level — 0.86-1.02x vs int8 at l3/l4 shapes, B<=8. The
+    # autotuner races s4/s4-split per signature, so the engine only keeps
+    # this form where it measures ahead.
     acc = conv(x_lo, w4[..., 0].astype(jnp.int8)) + conv(x_hi, w4[..., 1].astype(jnp.int8))
     if out_requant is not None:
         out_scale, out_zp = out_requant

@@ -172,3 +172,40 @@ def test_alexnet_conversion_runs():
     assert np.isfinite(got).all()
     agree = (ref.argmax(-1) == got.argmax(-1)).mean()
     assert agree >= 0.5  # random init; just structural sanity
+
+
+def test_multihost_batcher_single_process(rng):
+    """MultiHostBatcher's degenerate single-process path: the coordinated
+    scheduler over a data-sharded virtual mesh must match the plain engine
+    (the 2-process DCN form is tests/test_multiprocess_distributed.py)."""
+    from quantized_tpu.engine import build_int8_resident
+    from quantized_tpu.engine.multihost import serve_multihost
+    from quantized_tpu.models.layers import QuantMeasure
+    from quantized_tpu.parallel import create_mesh
+
+    def calibrated():
+        m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20,
+                                                   rngs=nnx.Rngs(0))
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return m
+
+    images = rng.standard_normal((6, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(build_int8_resident(calibrated())(jnp.asarray(images)))
+
+    mesh = create_mesh(num_devices=8, model_parallel=4)  # data=2 x model=4
+    batcher = serve_multihost(
+        build_int8_resident(calibrated()), mesh,
+        batch_sizes=(2, 4), input_shape=(32, 32, 3),
+    )
+    try:
+        futures = [batcher.submit(img) for img in images]
+        for i, f in enumerate(futures):
+            np.testing.assert_allclose(f.result(timeout=120), ref[i],
+                                       atol=1e-4, rtol=1e-5)
+    finally:
+        batcher.stop()
+    assert batcher.stats()["requests"] == len(images)

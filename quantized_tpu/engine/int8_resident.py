@@ -37,6 +37,7 @@ from flax import nnx
 
 from quantized_tpu.engine.convert import _convert_conv, _convert_linear
 from quantized_tpu.engine.int_layers import (
+    S16_FINE,
     IntConv2d,
     IntLinear,
     dequantize_stored,
@@ -93,9 +94,18 @@ class Int8Bottleneck(nnx.Module):
                 acc = self.conv3.run_q(h, relu=False, out_prescale=(s_out, float(shift)))
             if self.downsample is not None:
                 # downsample epilogue was built on conv1's grid (see
-                # build_int8_resident): consumes x_q directly, no regrid pass
+                # build_int8_resident): consumes x_q directly, no regrid pass.
+                # The leg materializes (the residual pass can only fuse into
+                # ONE producer, and it fuses into conv3) — emit fine-grained
+                # int16 instead of f32: half the bytes, measured 1.5-1.7x on
+                # the ds tail (bench/residual_tail_probe.py), error
+                # <=1/(2*S16_FINE) of an output step.
                 with jax.named_scope("ds"):
-                    idq = self.downsample.run_q(x_q, relu=False, out_prescale=(s_out, 0.0))
+                    idq = self.downsample.run_q(
+                        x_q, relu=False, out_prescale=(s_out, 0.0), prescale_s16=True
+                    )
+                if idq.dtype == jnp.int16:
+                    idq = idq.astype(jnp.float32) * jnp.float32(1.0 / S16_FINE)
             else:
                 idq = _prescaled_identity(x_q, self.conv1.grid, s_out)
             return _residual_requant_prescaled(acc, idq, shift)
@@ -125,7 +135,11 @@ class Int8BasicBlock(nnx.Module):
             shift = zp_out - 128
             acc = self.conv2.run_q(h, relu=False, out_prescale=(s_out, float(shift)))
             if self.downsample is not None:
-                idq = self.downsample.run_q(x_q, relu=False, out_prescale=(s_out, 0.0))
+                idq = self.downsample.run_q(
+                    x_q, relu=False, out_prescale=(s_out, 0.0), prescale_s16=True
+                )
+                if idq.dtype == jnp.int16:
+                    idq = idq.astype(jnp.float32) * jnp.float32(1.0 / S16_FINE)
             else:
                 idq = _prescaled_identity(x_q, self.conv1.grid, s_out)
             return _residual_requant_prescaled(acc, idq, shift)

@@ -25,6 +25,13 @@ from quantized_tpu.ops.int8_matmul import (
 from quantized_tpu.ops.int4 import int4_matmul_s4, pack_int4
 
 
+# Fine-grain factor for int16 prescaled residual legs: one s16 count is
+# 1/S16_FINE of the consumer's output step (error <= 1/(2*S16_FINE) step,
+# representable range +-32767/S16_FINE = +-1024 output steps — far beyond any
+# realizable shortcut magnitude, so the clip never binds in practice).
+S16_FINE = 32.0
+
+
 class Identity(nnx.Module):
     """Replaces folded-away BN modules."""
 
@@ -143,7 +150,7 @@ class IntConv2d(nnx.Module):
 
     def _run_bf16(
         self, x_q: jax.Array, relu: bool, out_requant: Optional[Tuple[float, int]],
-        out_prescale: Optional[float] = None,
+        out_prescale: Optional[float] = None, round_s16: bool = False,
     ) -> jax.Array:
         """bf16 path on the same stored-int8 grids. The dequantized value of
         the stored zero-point is exactly 0.0, so plain zero-padded lax conv
@@ -174,6 +181,11 @@ class IntConv2d(nnx.Module):
         if out_prescale is not None:
             scale, shift = out_prescale
             inv = jnp.float32(1.0 / scale)
+            if round_s16:
+                inv = inv * jnp.float32(S16_FINE)
+                q = jnp.round(y * inv + (self.bias_f.get_value() * inv
+                                         + jnp.float32(shift * S16_FINE)))
+                return jnp.clip(q, -32767.0, 32767.0).astype(jnp.int16)
             return y * inv + (self.bias_f.get_value() * inv + jnp.float32(shift))
         y = y + self.bias_f.get_value()
         if relu:
@@ -196,6 +208,7 @@ class IntConv2d(nnx.Module):
         relu: Optional[bool] = None,
         out_requant: Optional[Tuple[float, int]] = None,
         out_prescale: Optional[Tuple[float, float]] = None,
+        prescale_s16: bool = False,
     ) -> jax.Array:
         """Quantized-input entry (int8-resident mode): ``x_q`` must already be
         stored int8 on ``self.grid``. Returns f32, or int8 on ``out_requant``'s
@@ -204,15 +217,30 @@ class IntConv2d(nnx.Module):
         ``out_prescale=(scale, shift)`` returns f32 ``y/scale + shift``
         (no relu, no requant) with the division folded into the epilogue's
         alpha/beta — the residual tail consumes this so its final fused pass
-        is just round+clip, no per-element multiply."""
+        is just round+clip, no per-element multiply.
+
+        ``prescale_s16`` (with ``out_prescale``): emit int16 of
+        ``round((y/scale + shift) * S16_FINE)`` instead of f32 — halves the
+        materialized bytes of a downsample residual leg (measured 1.5-1.7x on
+        the ds-block tail, bench/residual_tail_probe.py) at <=1/(2*S16_FINE)
+        output-step error, inside the engine's <=1-int-step contract. Honored
+        on the xla/bf16 backends; others return f32 (consumers dispatch on
+        dtype)."""
         relu = self.relu if relu is None else relu
         if _SHAPE_RECORDER is not None:
             _SHAPE_RECORDER[id(self)] = tuple(x_q.shape)
         alpha, beta = self.alpha.get_value(), self.beta.get_value()
+        round_s16 = False
         if out_prescale is not None:
             assert out_requant is None and not relu, "prescale excludes requant/relu"
             scale, shift = out_prescale
             inv = jnp.float32(1.0 / scale)
+            if prescale_s16 and (
+                self.backend.startswith("xla") or self.backend.startswith("bf16")
+            ):
+                inv = inv * jnp.float32(S16_FINE)
+                shift = shift * S16_FINE
+                round_s16 = True
             alpha = alpha * inv
             beta = beta * inv + jnp.float32(shift)
         split = self.backend.endswith("-split") and out_requant is not None
@@ -236,7 +264,7 @@ class IntConv2d(nnx.Module):
                 )
             return quantize_input_stored(y, out_scale, out_zp)
         if self.backend.startswith("bf16"):
-            return self._run_bf16(x_q, relu, out_requant, out_prescale)
+            return self._run_bf16(x_q, relu, out_requant, out_prescale, round_s16)
         if self.backend.startswith("s4"):
             # native-S4 two-half-conv on the packed bytes (halved weight HBM;
             # only valid for channel-packed int4 layers — autotuned against
@@ -287,6 +315,7 @@ class IntConv2d(nnx.Module):
             relu=relu,
             groups=self.groups,
             out_requant=out_requant,
+            round_s16=round_s16,
         )
 
 

@@ -109,6 +109,7 @@ def int8_conv_xla(
     relu: bool = False,
     out_requant: Optional[Tuple[float, int]] = None,
     groups: int = 1,
+    round_s16: bool = False,
 ) -> jax.Array:
     """XLA-native path: int8 conv with int32 accumulation + the same epilogue
     (XLA fuses it). Also the reference implementation for Pallas-path tests."""
@@ -139,4 +140,10 @@ def int8_conv_xla(
     y = acc.astype(jnp.float32) * alpha + beta
     if relu:
         y = jnp.maximum(y, 0.0)
+    if round_s16:
+        # fine-grained int16 emission (callers pre-scale alpha/beta so one
+        # s16 count is a known fraction of the consumer's grid step): halves
+        # the materialized bytes of a residual leg vs f32 — see
+        # Int8Bottleneck's downsample path
+        return jnp.clip(jnp.round(y), -32767.0, 32767.0).astype(jnp.int16)
     return y

@@ -120,7 +120,10 @@ class ExplicitTPConv(nnx.Module):
         x_q = quantize_input_stored(x, self.conv.act_scale, self.conv.act_zero_point)
         return self.run_q(x_q, relu=self.conv.relu)
 
-    def run_q(self, x_q, relu=None, out_requant=None, out_prescale=None):
+    def run_q(self, x_q, relu=None, out_requant=None, out_prescale=None,
+              prescale_s16=False):
+        # prescale_s16 is accepted for block-call compatibility but not
+        # honored (f32 return; consumers dispatch on dtype)
         conv = self.conv
         relu = conv.relu if relu is None else relu
         alpha, beta = conv.alpha.get_value(), conv.beta.get_value()

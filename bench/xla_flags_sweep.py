@@ -3,6 +3,12 @@
 Each flag set runs in a fresh subprocess (XLA_FLAGS is read once at backend
 init). Prints img/s per config; use to decide whether bench.py should pin
 flags. Usage: python bench/xla_flags_sweep.py [B]
+
+Round-3 status: every TPU-specific flag is rejected by this sandbox's
+client-side jaxlib ("Unknown flag in XLA_FLAGS" hard abort) — compilation
+happens in the remote axon compile helper whose flags the client cannot set.
+Flag tuning is therefore unavailable here; the sweep stays for real-TPU
+deployments where the flags parse.
 """
 
 from __future__ import annotations

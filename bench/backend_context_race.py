@@ -83,6 +83,17 @@ def override(model, which: str) -> None:
         model.stem.set_backend("raw-xla-split")
     elif which == "stem-s2d-xla":
         model.stem.set_backend("xla")
+    elif which in ("layer1-c2-bf16", "layer1-c2-bf16-split"):
+        # round-3 c3-unit probe: c2 in bf16 beats the isolated-race winner
+        # (xla-split) by ~7% inside the c2+c3+residual fusion context
+        target = "bf16" if which.endswith("bf16") else "bf16-split"
+        for j in range(model.layer1.num_blocks):
+            blk = getattr(model.layer1, str(j))
+            blk.conv2.set_backend(target)
+    elif which == "layer12-c2-bf16":
+        for stage in (model.layer1, model.layer2):
+            for j in range(stage.num_blocks):
+                getattr(stage, str(j)).conv2.set_backend("bf16")
     elif which == "layer1-fused":
         stage = model.layer1
         for j in range(stage.num_blocks):

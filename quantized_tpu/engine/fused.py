@@ -26,7 +26,7 @@ from quantized_tpu.engine.int8_resident import (
     Int8ResNet,
     _Int8Stage,
 )
-from quantized_tpu.engine.int_layers import IntConv2d
+from quantized_tpu.engine.int_layers import S16_FINE, IntConv2d
 from quantized_tpu.ops.fused_block import (
     fused_basicblock_ds,
     fused_basicblock_s1,
@@ -189,6 +189,7 @@ class FusedInt8BottleneckDS(nnx.Module):
             stride=self.stride,
             lo1=self.lo1, lo2=self.lo2, shift=self.shift,
             zp2_stored=self.zp2_stored,
+            ds_fine=S16_FINE,  # mirror the unfused s16 identity leg
         )
 
 
@@ -251,6 +252,7 @@ class FusedInt8BasicBlockDS(nnx.Module):
             stride=self.stride,
             lo1=self.lo1, shift=self.shift,
             zp1_stored=self.zp1_stored, zp2_stored=self.zp2_stored,
+            ds_fine=S16_FINE,  # mirror the unfused s16 identity leg
         )
 
 

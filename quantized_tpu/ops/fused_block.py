@@ -373,6 +373,7 @@ def _fused_bottleneck_ds_kernel(
     *, bi: int, h: int, w: int, c: int, cm: int, cout: int, s: int,
     rh1: int, rh3: int,
     lo1: float, lo2: float, shift: float, zp2_stored: int,
+    ds_fine: float = 0.0,
 ):
     """Downsample bottleneck (1x1 -> 3x3/s -> 1x1, shortcut 1x1/s conv),
     ``bi`` images per grid step, every GEMM spanning all bi images. conv2's
@@ -427,6 +428,11 @@ def _fused_bottleneck_ds_kernel(
                 xc.reshape(rh3 * wo, c), wd_ref[...], preferred_element_type=jnp.int32
             )
             idq = accd.astype(jnp.float32) * ad_ref[...] + bd_ref[...]
+            if ds_fine:
+                # mirror the unfused engine's s16 fine-grained identity leg
+                # (int8_resident ds path) so fused-vs-unfused stays bit-par
+                idq = jnp.clip(jnp.round(idq * jnp.float32(ds_fine)),
+                               -32767.0, 32767.0) * jnp.float32(1.0 / ds_fine)
             q = jnp.round(y + idq)
             out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
             out_ref[b, r0 : r0 + rh3] = out.reshape(rh3, wo, cout)
@@ -434,7 +440,7 @@ def _fused_bottleneck_ds_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stride", "lo1", "lo2", "shift", "zp2_stored", "interpret"),
+    static_argnames=("stride", "lo1", "lo2", "shift", "zp2_stored", "ds_fine", "interpret"),
 )
 def fused_bottleneck_ds(
     x_q: jax.Array,  # (B, H, W, C) int8 stored on conv1's grid
@@ -449,6 +455,7 @@ def fused_bottleneck_ds(
     stride: int,
     lo1: float, lo2: float, shift: float,
     zp2_stored: int,
+    ds_fine: float = 0.0,
     interpret: bool = None,
 ) -> jax.Array:
     """One fused downsample bottleneck; returns int8 on the out grid at
@@ -483,7 +490,7 @@ def fused_bottleneck_ds(
         _fused_bottleneck_ds_kernel,
         bi=bi, h=h, w=w, c=c, cm=cm, cout=cout, s=s, rh1=rh1, rh3=rh3,
         lo1=float(lo1), lo2=float(lo2), shift=float(shift),
-        zp2_stored=int(zp2_stored),
+        zp2_stored=int(zp2_stored), ds_fine=float(ds_fine),
     )
     flops = 2 * n * (h * w * c * cm + 9 * ho * wo * cm * cm
                      + ho * wo * cm * cout + ho * wo * c * cout)
@@ -534,6 +541,7 @@ def _fused_basicblock_ds_kernel(
     xp_ref, h1p_ref, acc_ref,
     *, bi: int, h: int, w: int, c: int, cm: int, s: int, rh2: int,
     lo1: float, shift: float, zp1_stored: int, zp2_stored: int,
+    ds_fine: float = 0.0,
 ):
     """Downsample BasicBlock (3x3/s -> 3x3 with a 1x1/s shortcut conv),
     every GEMM spanning all bi images; conv1's strided taps use parity
@@ -596,6 +604,10 @@ def _fused_basicblock_ds_kernel(
                 xc.reshape(rh2 * wo, c), wd_ref[...], preferred_element_type=jnp.int32
             )
             idq = accd.astype(jnp.float32) * ad_ref[...] + bd_ref[...]
+            if ds_fine:
+                # mirror the unfused engine's s16 fine-grained identity leg
+                idq = jnp.clip(jnp.round(idq * jnp.float32(ds_fine)),
+                               -32767.0, 32767.0) * jnp.float32(1.0 / ds_fine)
             q = jnp.round(y + idq)
             out = jnp.clip(q, jnp.float32(shift), 127.0).astype(jnp.int8)
             out_ref[b, r0 : r0 + rh2] = out.reshape(rh2, wo, cm)
@@ -604,7 +616,8 @@ def _fused_basicblock_ds_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "stride", "lo1", "shift", "zp1_stored", "zp2_stored", "interpret"
+        "stride", "lo1", "shift", "zp1_stored", "zp2_stored", "ds_fine",
+        "interpret"
     ),
 )
 def fused_basicblock_ds(
@@ -618,6 +631,7 @@ def fused_basicblock_ds(
     stride: int,
     lo1: float, shift: float,
     zp1_stored: int, zp2_stored: int,
+    ds_fine: float = 0.0,
     interpret: bool = None,
 ) -> jax.Array:
     """One fused downsample 3x3->3x3 block; int8 out at (H/s, W/s, Cm)."""
@@ -644,6 +658,7 @@ def fused_basicblock_ds(
         bi=bi, h=h, w=w, c=c, cm=cm, s=s, rh2=rh2,
         lo1=float(lo1), shift=float(shift),
         zp1_stored=int(zp1_stored), zp2_stored=int(zp2_stored),
+        ds_fine=float(ds_fine),
     )
     flops = 2 * n * ho * wo * (9 * c * cm + 9 * cm * cm + c * cm)
     return pl.pallas_call(

@@ -43,13 +43,17 @@ def tp_int8_conv(
     stored_zp: int = -128,
     relu: bool = False,
     out_requant: Optional[Tuple[float, int]] = None,
+    round_s16: bool = False,
 ) -> jax.Array:
-    """Out-channel TP conv with an explicit int8 all_gather epilogue."""
+    """Out-channel TP conv with an explicit int8 all_gather epilogue.
+    ``round_s16`` gathers fine-grained int16 (downsample residual legs) —
+    half the ICI bytes of the f32 form."""
     from quantized_tpu.ops.int8_conv import int8_conv_xla
 
     def kernel(xb, wb, ab, bb):
         y = int8_conv_xla(xb, wb, ab, bb, stride, padding, stored_zp,
-                          relu=relu, out_requant=out_requant)
+                          relu=relu, out_requant=out_requant,
+                          round_s16=round_s16)
         return jax.lax.all_gather(y, MODEL_AXIS, axis=3, tiled=True)
 
     return shard_map(
@@ -122,15 +126,23 @@ class ExplicitTPConv(nnx.Module):
 
     def run_q(self, x_q, relu=None, out_requant=None, out_prescale=None,
               prescale_s16=False):
-        # prescale_s16 is accepted for block-call compatibility but not
-        # honored (f32 return; consumers dispatch on dtype)
+        from quantized_tpu.engine.int_layers import S16_FINE
+
         conv = self.conv
         relu = conv.relu if relu is None else relu
         alpha, beta = conv.alpha.get_value(), conv.beta.get_value()
+        round_s16 = False
         if out_prescale is not None:
             assert out_requant is None and not relu
             scale, shift = out_prescale
             inv = jnp.float32(1.0 / scale)
+            if prescale_s16:
+                # same fine-grained int16 leg as the single-device engine
+                # (bit-identical epilogue math), gathered as s16 — half the
+                # ICI bytes of the f32 form
+                inv = inv * jnp.float32(S16_FINE)
+                shift = shift * S16_FINE
+                round_s16 = True
             alpha = alpha * inv
             beta = beta * inv + jnp.float32(shift)
         w = conv.weights()
@@ -140,6 +152,7 @@ class ExplicitTPConv(nnx.Module):
         return tp_int8_conv(
             self.mesh, x_q, w, alpha, beta, conv.stride, conv.padding,
             conv.stored_zp, relu=relu, out_requant=out_requant,
+            round_s16=round_s16,
         )
 
 

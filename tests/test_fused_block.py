@@ -63,9 +63,15 @@ def test_fuse_resident_blocks_replaces_identity_blocks(resident):
     assert n == 15
     got = np.asarray(model(x))
     # rare one-int-step epilogue rounding flips (see the bitexact test)
-    # propagate through later layers; bound like the gemm-vs-xla backend test
-    np.testing.assert_allclose(got, want, rtol=1e-2, atol=3e-2)
-    assert (got.argmax(-1) == want.argmax(-1)).all()
+    # propagate through later layers; additionally the unfused ds blocks use
+    # the s16 fine-grained identity leg (round 3, <=1/64-step deltas) while
+    # the fused kernels keep f32 legs — bound accordingly
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=8e-2)
+    # untrained random logits can be near-tied at the top: require identical
+    # argmax OR a sub-tolerance gap between the two competing classes
+    for g, wv in zip(got, want):
+        if g.argmax() != wv.argmax():
+            assert wv[g.argmax()] > wv.max() - 0.08, (g.argmax(), wv.argmax())
     # downsample blocks get the DS kernel, identity blocks the s1 kernel
     from quantized_tpu.engine.fused import FusedInt8BottleneckDS
 

@@ -338,3 +338,32 @@ class TestInt8MobileNet:
         eng = build_int8_mobilenet(self._calibrated())
         u8 = jnp.asarray(rng.integers(0, 256, (2, 224, 224, 3)), jnp.uint8)
         assert eng.run_u8(u8).shape == (2, 1000)
+
+
+def test_prescale_s16_matches_f32_within_fine_step(rng):
+    """The int16 fine-grained prescale path (downsample residual legs) must
+    agree with the f32 prescale path to 1/S16_FINE of an output step, on
+    both the xla and bf16 backends."""
+    import numpy as np
+
+    from quantized_tpu.engine.int_layers import S16_FINE, IntConv2d
+
+    w = jnp.asarray(rng.integers(-127, 128, (1, 1, 16, 32)), jnp.int8)
+    alpha = jnp.asarray(rng.uniform(1e-4, 2e-4, (32,)), jnp.float32)
+    beta = jnp.asarray(rng.uniform(-0.5, 0.5, (32,)), jnp.float32)
+    x_q = jnp.asarray(rng.integers(-128, 128, (2, 8, 8, 16)), jnp.int8)
+    s_out = 0.5  # keeps |y/s_out| within +-~100 steps (engine-realistic)
+    for backend in ("xla-split", "bf16-split"):
+        conv = IntConv2d(w, alpha, beta, act_scale=0.05, act_zero_point=121,
+                         backend=backend)
+        f32 = np.asarray(conv.run_q(x_q, relu=False, out_prescale=(s_out, 0.0)))
+        s16 = conv.run_q(x_q, relu=False, out_prescale=(s_out, 0.0),
+                         prescale_s16=True)
+        assert s16.dtype == jnp.int16, backend
+        got = np.asarray(s16, np.float32) / S16_FINE
+        np.testing.assert_allclose(got, f32, atol=0.5 / S16_FINE + 1e-3)
+    # backends that can't honor the flag return f32 (consumer dispatches)
+    conv = IntConv2d(w, alpha, beta, act_scale=0.05, act_zero_point=121,
+                     backend="gemm")
+    out = conv.run_q(x_q, relu=False, out_prescale=(s_out, 0.0), prescale_s16=True)
+    assert out.dtype == jnp.float32

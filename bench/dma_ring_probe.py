@@ -15,6 +15,11 @@ Variants on the layer1-geometry copy (B,56,56,256 int8, 103 MB in + 103 MB out):
 
 Floor if in/out streams truly run concurrently at 699 GB/s: ~0.147 ms.
 
+OUTCOME (see dma_ring_probe3.py for the controlled version): the premise was
+a harness artifact — with honest chained timing at HBM-resident sizes, every
+DMA path (ring, grid pipeline, raw single DMA) caps at ~327 GB/s combined
+while XLA's own loads/stores run ~657 GB/s duplex. Kept for the probe record.
+
 Usage: python bench/dma_ring_probe.py [batch]
 """
 
@@ -97,8 +102,8 @@ def make_ring(compute, S=4, D=2, bi=1, n=B):
 
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, H, W, C), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((S, bi, H, W, C), jnp.int8),

@@ -23,9 +23,9 @@ from quantized_tpu.models import get_model
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 MODES = sys.argv[2].split(",") if len(sys.argv) > 2 else [
     "fp32", "bf16", "int8-exact", "int8-resident", "int4w-resident"]
-# model family: resnet50 (default), resnet18, alexnet, mobilenet
+# model family: resnet50 (default), resnet18/34/101/152, alexnet, mobilenet
 FAMILY = sys.argv[3] if len(sys.argv) > 3 else "resnet50"
-RESNET_DEPTH = 18 if FAMILY == "resnet18" else 50
+RESNET_DEPTH = int(FAMILY[6:]) if FAMILY.startswith("resnet") else 50
 
 
 def build(mode):

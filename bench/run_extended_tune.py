@@ -39,6 +39,19 @@ def main():
         print(f"=== resnet50 B={b} ===", flush=True)
         autotune_resident(eng, jnp.zeros((b, 224, 224, 3), jnp.float32))
 
+    # int4 engine: its packed-weight conv signatures differ from int8's (the
+    # w shape key carries the packed layout) and race the s4/s4-split forms —
+    # tune the serving buckets so int4 serving runs raced backends too
+    for b in (1, 8):
+        with host_build():
+            eng = build_int8_resident(
+                _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50),
+                weight_bits=4,
+            )
+        put_model(eng)
+        print(f"=== resnet50-int4 B={b} ===", flush=True)
+        autotune_resident(eng, jnp.zeros((b, 224, 224, 3), jnp.float32))
+
     b = BATCHES[0]
     with host_build():
         eng = build_int8_mobilenet(_calibrated_model("mobilenet_quantized"))

@@ -21,6 +21,7 @@ stopped-and-drained, so no host leaves a collective hanging.
 from __future__ import annotations
 
 import logging
+import time
 from typing import Sequence, Tuple
 
 import jax
@@ -131,7 +132,7 @@ class MultiHostBatcher(ContinuousBatcher):
                 for r in reqs:
                     r.future.set_exception(e)
                 continue
-            t_done = __import__("time").perf_counter()
+            t_done = time.perf_counter()
             for i, r in enumerate(reqs):
                 r.future.set_result(logits[i])
                 self.latencies_ms.append((t_done - r.t_submit) * 1e3)

@@ -209,3 +209,39 @@ def test_multihost_batcher_single_process(rng):
     finally:
         batcher.stop()
     assert batcher.stats()["requests"] == len(images)
+
+
+def test_multihost_batcher_u8_ingest(rng):
+    """HostShardedExecutor's fused uint8 ingest path (4x smaller request
+    payloads) through the coordinated batcher, single-process mesh form."""
+    from quantized_tpu.engine import build_int8_resident
+    from quantized_tpu.engine.multihost import serve_multihost
+    from quantized_tpu.models.layers import QuantMeasure
+    from quantized_tpu.parallel import create_mesh
+
+    def calibrated():
+        m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20,
+                                                   rngs=nnx.Rngs(0))
+        for _, mod in nnx.iter_modules(m):
+            if isinstance(mod, QuantMeasure):
+                mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+        m.eval()
+        return m
+
+    images = rng.integers(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    ref_model = build_int8_resident(calibrated())
+    ref = np.asarray(ref_model.run_u8(jnp.asarray(images)))
+
+    mesh = create_mesh(num_devices=8, model_parallel=4)
+    batcher = serve_multihost(
+        build_int8_resident(calibrated()), mesh,
+        batch_sizes=(2, 4), input_shape=(32, 32, 3), ingest="u8",
+    )
+    try:
+        futures = [batcher.submit(img) for img in images]
+        for i, f in enumerate(futures):
+            np.testing.assert_allclose(f.result(timeout=120), ref[i],
+                                       atol=1e-4, rtol=1e-5)
+    finally:
+        batcher.stop()

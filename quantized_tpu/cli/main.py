@@ -65,8 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-u8", action="store_true", help="serve raw uint8 images (normalize+quantize fused into the engine ingest)")
     p.add_argument("--mesh-model-parallel", type=int, default=None, help="TP degree over the model axis")
     p.add_argument("--tp-explicit", action="store_true",
-                   help="route the classifier head through the explicit shard_map "
-                        "reduce-scatter TP form instead of GSPMD (requires --mesh-model-parallel)")
+                   help="route the classifier head AND every conv of the last "
+                        "stage through the explicit shard_map TP forms (int8 "
+                        "all-gather convs, int32 psum-scatter fc) instead of "
+                        "GSPMD (requires --mesh-model-parallel)")
     p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--profile", default="", metavar="DIR", help="write an XProf/TensorBoard trace of the eval to DIR")
@@ -91,6 +93,8 @@ def main(argv=None):
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+        # also arm the s16 residual-leg saturation counter (ops/int8_conv)
+        os.environ["QTPU_DEBUG_S16"] = "1"
     if args.deterministic:
         # TPU XLA kernels are deterministic for this op set; reproducibility
         # hinges on (a) a sharding-invariant PRNG and (b) host-side batch

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from quantized_tpu.ops.int8_conv import int8_conv_gemm, int8_conv_xla
+from quantized_tpu.ops.int8_conv import (
+    clip_s16_checked,
+    int8_conv_gemm,
+    int8_conv_xla,
+)
 from quantized_tpu.ops.int8_matmul import (
     int8_matmul,
     int8_matmul_xla,
@@ -28,7 +32,9 @@ from quantized_tpu.ops.int4 import int4_matmul_s4, pack_int4
 # Fine-grain factor for int16 prescaled residual legs: one s16 count is
 # 1/S16_FINE of the consumer's output step (error <= 1/(2*S16_FINE) step,
 # representable range +-32767/S16_FINE = +-1024 output steps — far beyond any
-# realizable shortcut magnitude, so the clip never binds in practice).
+# realizable shortcut magnitude for calibrated legs; under QTPU_DEBUG_S16
+# (set by --debug-nans) every s16 emission counts clipped elements so a
+# binding clip is *detected*, not silent (ops/int8_conv.clip_s16_checked).
 S16_FINE = 32.0
 
 
@@ -185,7 +191,7 @@ class IntConv2d(nnx.Module):
                 inv = inv * jnp.float32(S16_FINE)
                 q = jnp.round(y * inv + (self.bias_f.get_value() * inv
                                          + jnp.float32(shift * S16_FINE)))
-                return jnp.clip(q, -32767.0, 32767.0).astype(jnp.int16)
+                return clip_s16_checked(q)
             return y * inv + (self.bias_f.get_value() * inv + jnp.float32(shift))
         y = y + self.bias_f.get_value()
         if relu:

@@ -21,6 +21,7 @@ stopped-and-drained, so no host leaves a collective hanging.
 from __future__ import annotations
 
 import logging
+import queue
 import time
 from typing import Sequence, Tuple
 
@@ -104,19 +105,71 @@ class MultiHostBatcher(ContinuousBatcher):
             self.executor(np.zeros((b, *self.input_shape), self.dtype))
         return self
 
-    def _coordinate(self, n_local: int, done_local: bool) -> Tuple[int, bool]:
+    def _drain(self, limit):
+        """Bounded drain: unlike the single-host parent (which may wait on an
+        empty queue indefinitely), an empty drain here returns ``[]`` after at
+        most ``max(max_wait_s, 50ms)`` so every host reaches the ``_coordinate``
+        allgather on a fixed heartbeat.  Without this, one idle host would
+        never enter the count exchange and requests on every *other* host
+        would stall until the idle host got traffic (round-3 advisor, high)."""
+        out = []
+        deadline = time.perf_counter() + max(self.max_wait_s, 0.05)
+        while len(out) < limit:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                out.append(self._queue.get(timeout=max(timeout, 0.0005)))
+            except queue.Empty:
+                break
+        return out
+
+    def _coordinate(
+        self, n_local: int, done_local: bool, err_local: bool = False
+    ) -> Tuple[int, bool, bool]:
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
-            np.asarray([n_local, int(done_local)], np.int32)
-        ).reshape(jax.process_count(), 2)
-        return int(flags[:, 0].max()), bool(flags[:, 1].min())
+            np.asarray([n_local, int(done_local), int(err_local)], np.int32)
+        ).reshape(jax.process_count(), 3)
+        return (
+            int(flags[:, 0].max()),
+            bool(flags[:, 1].min()),
+            bool(flags[:, 2].max()),
+        )
+
+    def _fail_all(self, reqs, exc) -> None:
+        """Executor failure is fatal for the serving loop: fail this step's
+        requests plus everything still queued, so no client blocks forever."""
+        for r in reqs:
+            if not r.future.done():
+                r.future.set_exception(exc)
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not r.future.done():
+                r.future.set_exception(exc)
+        self._stop.set()
 
     def _loop(self):
+        err: Exception | None = None
         while True:
             reqs = self._drain(self.batch_sizes[-1])
             done_local = self._stop.is_set() and self._queue.empty() and not reqs
-            n_global, done_all = self._coordinate(len(reqs), done_local)
+            n_global, done_all, err_any = self._coordinate(
+                len(reqs), done_local, err_local=err is not None
+            )
+            if err_any:
+                # Some host's executor raised mid-step. Continuing the
+                # per-host loop would desynchronize the allgather counts and
+                # leave peers hanging inside the SPMD forward's collectives
+                # (round-3 advisor, medium) — treat it as fatal everywhere.
+                self._fail_all(
+                    reqs, err or RuntimeError("peer host reported executor failure")
+                )
+                break
             if done_all:
                 break
             if n_global == 0:
@@ -129,6 +182,9 @@ class MultiHostBatcher(ContinuousBatcher):
             try:
                 logits = np.asarray(self.executor(batch))
             except Exception as e:  # pragma: no cover
+                # Hold the error and surface it through the *next* coordinate
+                # round so every host exits the loop together.
+                err = e
                 for r in reqs:
                     r.future.set_exception(e)
                 continue

@@ -14,6 +14,8 @@ already hits the MXU, and as a cross-check for the Pallas path.
 from __future__ import annotations
 
 import functools
+import logging
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -145,5 +147,39 @@ def int8_conv_xla(
         # s16 count is a known fraction of the consumer's grid step): halves
         # the materialized bytes of a residual leg vs f32 — see
         # Int8Bottleneck's downsample path
-        return jnp.clip(jnp.round(y), -32767.0, 32767.0).astype(jnp.int16)
+        return clip_s16_checked(jnp.round(y))
     return y
+
+
+# Saturation telemetry for the fine-grained s16 residual legs. The +-32767
+# clip represents +-32767/S16_FINE = +-1024 output steps — believed never to
+# bind for calibrated shortcut legs, but a silently binding clip would break
+# the <=1/(2*S16_FINE)-step error contract. Under QTPU_DEBUG_S16 (or the
+# engine's --debug-nans, which sets it) every s16 emission counts clipped
+# elements on-device and reports them host-side.
+_s16_saturated_total = 0
+
+
+def s16_saturated_total() -> int:
+    """Total saturated elements seen since process start (debug mode only)."""
+    return _s16_saturated_total
+
+
+def _s16_sat_report(n) -> None:
+    global _s16_saturated_total
+    n = int(n)
+    if n:
+        _s16_saturated_total += n
+        logging.getLogger(__name__).error(
+            "s16 residual-leg saturation: %d element(s) clipped at +-32767 — "
+            "the fine-grained leg's error bound is violated; lower S16_FINE "
+            "for this layer or widen its calibration", n,
+        )
+
+
+def clip_s16_checked(q: jax.Array) -> jax.Array:
+    """``clip(q, +-32767).astype(int16)`` with debug-mode saturation counting
+    (round-3 advisor: detect rather than silently saturate)."""
+    if os.environ.get("QTPU_DEBUG_S16"):
+        jax.debug.callback(_s16_sat_report, jnp.sum(jnp.abs(q) > 32767.0))
+    return jnp.clip(q, -32767.0, 32767.0).astype(jnp.int16)

@@ -211,6 +211,57 @@ def test_multihost_batcher_single_process(rng):
     assert batcher.stats()["requests"] == len(images)
 
 
+def test_multihost_idle_heartbeat(rng):
+    """With no traffic anywhere, every host must still reach the count
+    allgather on a fixed heartbeat (round-3 advisor high finding: an
+    unbounded drain parks an idle host and stalls its peers)."""
+    import time
+
+    from quantized_tpu.engine.multihost import MultiHostBatcher
+
+    coordinations = []
+
+    class Counting(MultiHostBatcher):
+        def _coordinate(self, n_local, done_local, err_local=False):
+            coordinations.append(n_local)
+            return super()._coordinate(n_local, done_local, err_local)
+
+    batcher = Counting(lambda b: np.zeros((b.shape[0], 10), np.float32),
+                       (8, 8, 3), batch_sizes=(2, 4)).start()
+    try:
+        time.sleep(0.5)
+        # heartbeat is ~50 ms -> several empty coordination rounds while idle
+        assert len(coordinations) >= 3, len(coordinations)
+        assert batcher.steps == 0
+        # a late request is still served after the idle stretch
+        f = batcher.submit(rng.standard_normal((8, 8, 3)).astype(np.float32))
+        assert f.result(timeout=30).shape == (10,)
+    finally:
+        batcher.stop()
+
+
+def test_multihost_executor_failure_is_fatal(rng):
+    """An executor failure fails the step's futures AND everything queued,
+    then exits the loop — continuing would desynchronize the allgather counts
+    across hosts (round-3 advisor medium finding)."""
+    from quantized_tpu.engine.multihost import MultiHostBatcher
+
+    def bad_executor(batch):
+        raise RuntimeError("injected device failure")
+
+    batcher = MultiHostBatcher(bad_executor, (8, 8, 3), batch_sizes=(2,)).start()
+    img = rng.standard_normal((8, 8, 3)).astype(np.float32)
+    f1 = batcher.submit(img)
+    with pytest.raises(RuntimeError, match="injected device failure"):
+        f1.result(timeout=30)
+    # the loop must terminate on its own (stop flag set by _fail_all)
+    batcher._thread.join(timeout=10)
+    assert not batcher._thread.is_alive()
+    # late submissions are not silently parked: queue is already stopped, and
+    # anything that made it into the queue before the break was failed
+    assert batcher._stop.is_set()
+
+
 def test_multihost_batcher_u8_ingest(rng):
     """HostShardedExecutor's fused uint8 ingest path (4x smaller request
     payloads) through the coordinated batcher, single-process mesh form."""

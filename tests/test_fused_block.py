@@ -62,16 +62,18 @@ def test_fuse_resident_blocks_replaces_identity_blocks(resident):
     # ResNet-50: 16 blocks - the final block (f32 out) = 15 (identity + ds)
     assert n == 15
     got = np.asarray(model(x))
-    # rare one-int-step epilogue rounding flips (see the bitexact test)
-    # propagate through later layers; additionally the unfused ds blocks use
-    # the s16 fine-grained identity leg (round 3, <=1/64-step deltas) while
-    # the fused kernels keep f32 legs — bound accordingly
-    np.testing.assert_allclose(got, want, rtol=2e-2, atol=8e-2)
+    # the fused DS kernels mirror the s16 fine-grained leg (ds_fine=
+    # S16_FINE), so the only remaining drift is f32-association order in the
+    # epilogues flipping exact-.5 roundings by one int step (see the bitexact
+    # test); measured propagation through the 15 fused blocks of this config
+    # is <=2 int steps on a ~0.03-scale grid = 0.053 max |delta| — bound at
+    # 6e-2 (was 8e-2 with a stale f32-leg justification; round-3 advisor)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
     # untrained random logits can be near-tied at the top: require identical
     # argmax OR a sub-tolerance gap between the two competing classes
     for g, wv in zip(got, want):
         if g.argmax() != wv.argmax():
-            assert wv[g.argmax()] > wv.max() - 0.08, (g.argmax(), wv.argmax())
+            assert wv[g.argmax()] > wv.max() - 0.06, (g.argmax(), wv.argmax())
     # downsample blocks get the DS kernel, identity blocks the s1 kernel
     from quantized_tpu.engine.fused import FusedInt8BottleneckDS
 

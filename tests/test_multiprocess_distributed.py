@@ -157,11 +157,21 @@ _CHILD_SERVE = textwrap.dedent(
     for i, f in futures:
         np.testing.assert_allclose(f.result(timeout=300), ref[i], atol=1e-4, rtol=1e-5)
     # second wave after an idle period (exercises the 0-pending agreement
-    # path), opposite imbalance
+    # path), opposite imbalance. The idle host (pid 0) deliberately stays up
+    # WITHOUT stopping: the bounded-drain heartbeat must carry it to the
+    # count allgather so pid 1's request completes promptly (round-3 advisor
+    # high finding — an unbounded drain would stall pid 1 until pid 0's
+    # stop() 5 s later).
+    import time
     mine2 = [7] if pid == 1 else []
     futures2 = [(i, batcher.submit(images[i])) for i in mine2]
+    t0 = time.perf_counter()
     for i, f in futures2:
         np.testing.assert_allclose(f.result(timeout=300), ref[i], atol=1e-4, rtol=1e-5)
+    if pid == 1:
+        assert time.perf_counter() - t0 < 4.0, "wave-2 stalled: idle-host heartbeat broken"
+    else:
+        time.sleep(5)  # stay idle; the heartbeat alone must keep serving pid 1
     batcher.stop()
     st = batcher.stats()
     assert st["requests"] == len(mine) + len(mine2), st

@@ -190,3 +190,27 @@ def test_int4_conv_s4_matches_unpacked(rng):
                                         stride=(1, 1), padding=(1, 1), stored_zp=-100,
                                         relu=True, groups=groups))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_s16_saturation_guard(rng, monkeypatch):
+    """Debug-mode s16 clip telemetry (round-3 advisor): a residual leg whose
+    fine-grained values exceed +-32767 must be *counted*, not silently
+    saturated; in-range emissions must report nothing."""
+    from quantized_tpu.ops import int8_conv as m
+
+    monkeypatch.setenv("QTPU_DEBUG_S16", "1")
+    x = _rand_int8(rng, (1, 4, 4, 8), -128)
+    w = rng.integers(-7, 8, (1, 1, 8, 8)).astype(np.int8)
+    alpha = jnp.full((8,), 1.0, jnp.float32)
+
+    before = m.s16_saturated_total()
+    # tame epilogue: values well inside +-32767 -> no events
+    y = m.int8_conv_xla(jnp.asarray(x), jnp.asarray(w), alpha * 1e-3,
+                        jnp.zeros((8,), jnp.float32), 1, 0, -128, round_s16=True)
+    jax.block_until_ready(y)
+    assert m.s16_saturated_total() == before
+    # huge beta pushes every element past the clip -> events counted
+    y = m.int8_conv_xla(jnp.asarray(x), jnp.asarray(w), alpha,
+                        jnp.full((8,), 1e6, jnp.float32), 1, 0, -128, round_s16=True)
+    jax.block_until_ready(y)
+    assert m.s16_saturated_total() > before

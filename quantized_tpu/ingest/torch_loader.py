@@ -79,6 +79,10 @@ def state_dict_to_nnx(
 
     out: Dict[Tuple, np.ndarray] = {}
     for key, arr in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            # torch BN bookkeeping with no JAX counterpart — every
+            # torch-authored checkpoint carries one per BN module
+            continue
         parts = key.split(".")
         # downsample Sequential indices -> named children
         parts = ["conv" if (p == "0" and parts[i - 1] == "downsample") else p for i, p in enumerate(parts)]

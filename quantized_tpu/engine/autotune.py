@@ -388,6 +388,17 @@ def _tune_blocks(model: nnx.Module, table: Dict[str, str], verbose: bool = True)
             if not fusable(blk) or not hasattr(blk.conv1, "last_input_shape"):
                 continue
             key = _block_signature(blk)
+            if key not in table and os.environ.get("QTPU_TUNE_FUSED") != "1":
+                # Frozen negative result (round 3 DMA study): every Pallas
+                # whole-block kernel rides the ~327 GB/s DMA-engine path vs
+                # XLA's ~657 GB/s fusion streams, so the fused form loses
+                # 2.3-2.9x on every raced signature for a *structural*
+                # reason. Default unseen signatures to unfused without
+                # burning tunnel compiles; set QTPU_TUNE_FUSED=1 to re-race
+                # (e.g. after a libtpu upgrade changes DMA behavior).
+                table[key] = "unfused"
+                measured += 1
+                continue
             if key not in table:
                 try:
                     tu = _time_block(blk, blk.conv1.last_input_shape)
@@ -543,6 +554,12 @@ def _tune_mobilenet_pairs(model: nnx.Module, table: Dict[str, str],
             continue
         key = _mobilenet_pair_signature(dw, pw)
         if key in table:
+            continue
+        if os.environ.get("QTPU_TUNE_FUSED") != "1":
+            # same frozen-loser policy as _tune_blocks (the dwpw kernel
+            # rides the identical ~327 GB/s DMA path; every race rejected it)
+            table[key] = "unfused"
+            measured += 1
             continue
         try:
             tu = _time_block(

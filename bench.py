@@ -18,8 +18,9 @@ from __future__ import annotations
 import json
 import sys
 
-BATCH = 128  # measured best (RESULTS.md batch sweep, tuned at each size):
-# 16531 @128, 14250 @192, 15816 @256; round-2 headline 16628 @128 (v5e)
+BATCH = 128  # measured best (RESULTS.md batch sweep, tuned at each size).
+# Round-4 re-race on the s16-leg engine: 18.7k @128, 14.7k @160, 15.6k
+# @192, 17.3k @256 — the VMEM-pressure optimum stays at 128 (v5e)
 
 
 def _model_throughput(model, x):

@@ -140,6 +140,11 @@ def autotune_resident(
             if verbose:
                 desc = " ".join(f"{b}={t*1e3:.3f}ms" for b, t in sorted(times.items()))
                 print(f"autotune {key}: {desc} -> {best}", flush=True)
+            if cache_path:
+                # persist incrementally: races cost minutes of tunnel
+                # compiles each — an interrupted tune keeps its verdicts
+                with open(cache_path, "w") as f:
+                    json.dump(cache, f, indent=1)
         conv.set_backend(table[key])
 
     measured += _tune_maxpool(model, example_input, table)

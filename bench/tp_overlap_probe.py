@@ -23,11 +23,17 @@ Usage: python bench/tp_overlap_probe.py
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# must precede the first CPU-client creation (lazy, so before any jax use)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 

@@ -101,6 +101,59 @@ def test_continuous_batcher_correct_and_padded():
     assert s["latency_p50_ms"] > 0
 
 
+def test_pipelined_batcher_correct_under_burst_and_lull():
+    """pipeline_depth>1 (round 4): results stay per-request correct when
+    batches are resolved out of the dispatch loop, a traffic lull flushes
+    the in-flight queue (no stranded futures), and a slow executor's
+    latency is overlapped (dispatch k+1 happens before k's resolve)."""
+    import time
+
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((4 * 4 * 3, 7)).astype(np.float32)
+
+    calls = []
+
+    class SlowDeviceish:
+        """Mimics async dispatch: returns a lazy handle; materialization
+        (np.asarray at resolve) pays the latency."""
+
+        def __init__(self, batch):
+            self.batch = batch
+            self.t = time.perf_counter()
+
+        def __array__(self, dtype=None, copy=None):
+            dt = 0.05 - (time.perf_counter() - self.t)
+            if dt > 0:
+                time.sleep(dt)  # "device still executing"
+            out = self.batch.reshape(self.batch.shape[0], -1) @ w
+            return out if dtype is None else out.astype(dtype)
+
+    def ex(batch):
+        calls.append(time.perf_counter())
+        return SlowDeviceish(batch.copy())
+
+    b = ContinuousBatcher(ex, (4, 4, 3), batch_sizes=(4,), max_wait_ms=2,
+                          pipeline_depth=3).start()
+    imgs = rng.standard_normal((24, 4, 4, 3)).astype(np.float32)
+    futs = [b.submit(im) for im in imgs]
+    outs = np.stack([f.result(timeout=30) for f in futs])
+    np.testing.assert_allclose(outs, imgs.reshape(24, -1) @ w, rtol=1e-5, atol=1e-5)
+    # lull: everything resolved without stop() — no stranded futures
+    assert all(f.done() for f in futs)
+    # overlap: 6 batches of 50 ms serial would take >=300 ms; the pipeline
+    # must have dispatched successive batches before resolving older ones
+    gaps = np.diff(calls)
+    assert len(calls) >= 6 and (gaps < 0.05).any(), gaps
+    # burst 2 after the lull: loop still live, results correct
+    futs2 = [b.submit(im) for im in imgs[:5]]
+    outs2 = np.stack([f.result(timeout=30) for f in futs2])
+    np.testing.assert_allclose(outs2, imgs[:5].reshape(5, -1) @ w, rtol=1e-5, atol=1e-5)
+    b.stop()
+    assert b.stats()["requests"] == 29
+
+
 def test_batcher_rejects_bad_shape():
     from quantized_tpu.engine.batching import ContinuousBatcher
 

@@ -39,12 +39,16 @@ def serve(
     http_port: Optional[int] = None,
     demo_traffic: bool = True,
     ingest: str = "f32",
+    pipeline_depth: int = 1,
 ):
     """Bring up the batcher (+ optional HTTP endpoint); with ``demo_traffic``
     generates synthetic request load and logs latency/throughput stats every
     second. ``ingest='u8'`` serves raw uint8 images through the engine's
     fused normalize+quantize path (4x less request payload and input HBM
-    traffic). Returns 0 on clean shutdown."""
+    traffic). ``pipeline_depth>1`` keeps batches in flight with dispatch-time
+    result copies — ~3x throughput at device capacity
+    (bench/serving_capacity.py); depth 1 minimizes latency for sparse
+    traffic. Returns 0 on clean shutdown."""
     from quantized_tpu.engine.batching import ContinuousBatcher
 
     if input_shape is None:
@@ -52,7 +56,8 @@ def serve(
         input_shape = (size, size, 3)
     ex = make_executor(model, mesh, ingest=ingest)
     dtype = np.uint8 if ingest == "u8" else np.float32
-    batcher = ContinuousBatcher(ex, input_shape, batch_sizes, dtype=dtype).warmup().start()
+    batcher = ContinuousBatcher(ex, input_shape, batch_sizes, dtype=dtype,
+                                pipeline_depth=pipeline_depth).warmup().start()
     logger.info("server up: buckets=%s input=%s", tuple(batch_sizes), input_shape)
 
     httpd = None

@@ -184,3 +184,31 @@ def test_bf16_backend_at_construction(rng):
         if isinstance(m, IntConv2d):
             m.set_backend("bf16")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref(x)))
+
+
+def test_frozen_fused_race_defaults_unfused(rng, monkeypatch):
+    """Round-4 freeze: unseen block signatures default to 'unfused' WITHOUT
+    timing (the fused kernels lose for the structural ~327 GB/s DMA-cap
+    reason on every raced signature); QTPU_TUNE_FUSED=1 re-enables racing."""
+    import quantized_tpu.engine.autotune as at
+
+    monkeypatch.delenv("QTPU_TUNE_FUSED", raising=False)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    model = build_int8_resident(_calibrated())
+    _record_shapes(model, x)
+
+    timed = []
+    monkeypatch.setattr(at, "_time_block", lambda *a, **k: timed.append(a) or 1.0)
+    table = {}
+    measured = at._tune_blocks(model, table, verbose=False)
+    assert measured > 0
+    assert not timed, "frozen policy must not race"
+    assert set(table.values()) == {"unfused"}
+    assert all(k.startswith("block:") for k in table)
+
+    # opt-in re-race: with the env set, unseen signatures are timed again
+    monkeypatch.setenv("QTPU_TUNE_FUSED", "1")
+    model2 = build_int8_resident(_calibrated())
+    _record_shapes(model2, x)
+    at._tune_blocks(model2, {}, verbose=False)
+    assert timed, "QTPU_TUNE_FUSED=1 must measure"

@@ -29,7 +29,7 @@ import os
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -121,13 +121,23 @@ class ContinuousBatcher:
         request_log: Optional[str] = None,
         dtype=np.float32,
         pipeline_depth: int = 1,
+        pad_workers: int = 4,
     ):
         """``pipeline_depth``: number of batches allowed in flight before the
         scheduler blocks on results. Depth 2 exploits JAX's async dispatch —
         batch k+1 is drained/padded/dispatched while batch k executes, hiding
         the dispatch round-trip and host-side assembly behind device compute
         (the per-batch result fetch is the only forced sync). Depth 1 =
-        dispatch-resolve-dispatch, minimizing latency for sparse traffic."""
+        dispatch-resolve-dispatch, minimizing latency for sparse traffic.
+
+        Depth >= 2 additionally splits the scheduler into two stages
+        (assembler thread: drain+pad; dispatcher thread: execute+resolve), so
+        the pad memcpy of batch k+1 runs concurrently with the dispatch of
+        batch k — the per-batch host cost becomes max(pad, dispatch) instead
+        of their sum (bench/serving_capacity.py measures both).
+
+        ``pad_workers``: threads for the pad memcpy of large buckets (numpy
+        row copies release the GIL); 0 = single-threaded assembly."""
         self.executor = executor
         self.request_log = RequestLog(request_log) if request_log else None
         self.input_shape = tuple(input_shape)
@@ -135,6 +145,12 @@ class ContinuousBatcher:
         self.batch_sizes = tuple(sorted(set(batch_sizes)))
         self.pipeline_depth = max(1, int(pipeline_depth))
         self.max_wait_s = max_wait_ms / 1e3
+        self.pad_workers = max(0, int(pad_workers))
+        self._pad_pool = (
+            ThreadPoolExecutor(self.pad_workers, thread_name_prefix="qtpu-pad")
+            if self.pad_workers > 1
+            else None
+        )
         self._queue: "queue.Queue[_Request]" = queue.Queue(max_queue)
         self._rid = 0
         self._rid_lock = threading.Lock()
@@ -156,6 +172,8 @@ class ContinuousBatcher:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self._pad_pool is not None:
+            self._pad_pool.shutdown(wait=False)
         if self.request_log is not None:
             self.request_log.close()
 
@@ -217,42 +235,102 @@ class ContinuousBatcher:
         self.requests_done += len(reqs)
         self.padded_slots += bucket - len(reqs)
 
-    def _loop(self):
-        from collections import deque
+    def _assemble(self, reqs: List[_Request], bucket: int) -> np.ndarray:
+        """Pad ``reqs`` into a ``bucket``-row batch. ``np.zeros`` is calloc —
+        the padded tail stays on the kernel's shared zero page; only copied
+        rows fault in. Large buckets split the row memcpys over the pad pool
+        (numpy array copies release the GIL), cutting the one host-side cost
+        the capacity bench could not hide (2.8 ms alone at bucket 128)."""
+        batch = np.zeros((bucket, *self.input_shape), self.dtype)
+        n = len(reqs)
+        if self._pad_pool is not None and n >= 8 * self.pad_workers:
+            chunk = -(-n // self.pad_workers)
 
-        inflight: "deque" = deque()
-        while not self._stop.is_set() or not self._queue.empty() or inflight:
-            if inflight and self._queue.empty():
-                # nothing to assemble right now: flush pending results so a
-                # traffic lull never strands a dispatched batch in the queue
-                # wait below (depth>1 only fills the pipe under load)
-                while inflight:
-                    self._resolve(inflight.popleft())
+            def copy_rows(lo: int) -> None:
+                hi = min(lo + chunk, n)
+                for i in range(lo, hi):
+                    batch[i] = reqs[i].image
+
+            list(self._pad_pool.map(copy_rows, range(0, n, chunk)))
+        else:
+            for i, r in enumerate(reqs):
+                batch[i] = r.image
+        return batch
+
+    def _dispatch(self, reqs: List[_Request], batch: np.ndarray):
+        """Execute one padded batch; returns the in-flight entry or None on
+        executor failure (those requests are failed here)."""
+        try:
+            out = self.executor(batch)
+            # start the D2H result copy NOW (JAX async dispatch): by the
+            # time this batch reaches _resolve, its bytes are already on
+            # the host, so the forced fetch costs ~0 instead of a full
+            # transfer round-trip per batch (measured 29 ms through this
+            # sandbox's tunnel — the difference between 19% and ~90% of
+            # device capacity in bench/serving_capacity.py)
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
+        except Exception as e:
+            for r in reqs:
+                r.future.set_exception(e)
+            return None
+        return (reqs, len(batch), out)
+
+    def _loop(self):
+        if self.pipeline_depth > 1:
+            return self._loop_pipelined()
+        # depth 1: dispatch-resolve-dispatch, minimal latency for sparse traffic
+        while not self._stop.is_set() or not self._queue.empty():
             reqs = self._drain(self.batch_sizes[-1])
             if not reqs:
                 continue
             self.steps += 1
-            bucket = self._pick_bucket(len(reqs))
-            batch = np.zeros((bucket, *self.input_shape), self.dtype)
-            for i, r in enumerate(reqs):
-                batch[i] = r.image
-            try:
-                out = self.executor(batch)
-                # start the D2H result copy NOW (JAX async dispatch): by the
-                # time this batch reaches _resolve, its bytes are already on
-                # the host, so the forced fetch costs ~0 instead of a full
-                # transfer round-trip per batch (measured 29 ms through this
-                # sandbox's tunnel — the difference between 19% and ~90% of
-                # device capacity in bench/serving_capacity.py)
-                if hasattr(out, "copy_to_host_async"):
-                    out.copy_to_host_async()
-            except Exception as e:  # pragma: no cover
-                for r in reqs:
-                    r.future.set_exception(e)
-                continue
-            inflight.append((reqs, bucket, out))
-            while len(inflight) >= self.pipeline_depth:
-                self._resolve(inflight.popleft())
+            entry = self._dispatch(reqs, self._assemble(reqs, self._pick_bucket(len(reqs))))
+            if entry is not None:
+                self._resolve(entry)
+
+    def _loop_pipelined(self):
+        """Two-stage scheduler (depth >= 2): this thread assembles (drain +
+        pad) while a dispatcher thread executes and resolves, so per-batch
+        host cost is max(pad, dispatch) instead of pad + dispatch, and both
+        overlap device compute. The dispatch queue bounds run-ahead; a
+        ``None`` sentinel shuts the dispatcher down after a final flush."""
+        from collections import deque
+
+        dq: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def dispatcher():
+            inflight: "deque" = deque()
+            while True:
+                try:
+                    item = dq.get(timeout=0.005 if inflight else 0.2)
+                except queue.Empty:
+                    # traffic lull: flush pending results so nothing strands
+                    while inflight:
+                        self._resolve(inflight.popleft())
+                    continue
+                if item is None:
+                    while inflight:
+                        self._resolve(inflight.popleft())
+                    return
+                entry = self._dispatch(*item)
+                if entry is not None:
+                    inflight.append(entry)
+                while len(inflight) >= self.pipeline_depth:
+                    self._resolve(inflight.popleft())
+
+        disp = threading.Thread(target=dispatcher, daemon=True, name="qtpu-dispatch")
+        disp.start()
+        try:
+            while not self._stop.is_set() or not self._queue.empty():
+                reqs = self._drain(self.batch_sizes[-1])
+                if not reqs:
+                    continue
+                self.steps += 1
+                dq.put((reqs, self._assemble(reqs, self._pick_bucket(len(reqs)))))
+        finally:
+            dq.put(None)
+            disp.join(timeout=30)
 
     # ------------------------------------------------------------- metrics
     def stats(self) -> Dict[str, float]:

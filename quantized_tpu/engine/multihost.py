@@ -176,9 +176,7 @@ class MultiHostBatcher(ContinuousBatcher):
                 continue
             self.steps += 1
             bucket = self._pick_bucket(n_global)
-            batch = np.zeros((bucket, *self.input_shape), self.dtype)
-            for i, r in enumerate(reqs):
-                batch[i] = r.image
+            batch = self._assemble(reqs, bucket)
             try:
                 logits = np.asarray(self.executor(batch))
             except Exception as e:  # pragma: no cover

@@ -1,12 +1,21 @@
 """QAT train-step throughput on the live chip (the reference's training
-workload: fake-quant forward + STE backward + SGD, main.py's hot loop).
+workload: fake-quant forward + STE backward + SGD, main.py's hot loop
+~L215-290).
 
-Usage: python bench/train_step.py [B] [model] [depth]
+The step is timed as a ``lax.scan`` whose carry is the *params pytree*: each
+iteration consumes the previous SGD update, so the whole fwd+bwd+update is
+live (nothing DCE-able) and the tunnel round-trip amortizes over the loop
+(see utils/timing.py for why naive timing lies through the axon tunnel).
+
+Usage: python bench/train_step.py [B] [model] [depth] [dtype]
+  dtype: f32 (default, reference semantics) | bf16 (mixed: convs/GEMMs in
+  bf16, fake-quant boundaries + SGD math in f32 — Trainer compute_dtype)
 """
 
 from __future__ import annotations
 
 import sys
+import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -16,12 +25,12 @@ import numpy as np
 from flax import nnx
 
 from quantized_tpu.models import get_model
-from quantized_tpu.training import Trainer
-from quantized_tpu.utils.timing import per_iter_time
+from quantized_tpu.utils.timing import MAX_LOOPS, TUNNEL_OVERHEAD_S
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 MODEL = sys.argv[2] if len(sys.argv) > 2 else "resnet_quantized_float_bn"
 DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 18
+DTYPE = sys.argv[4] if len(sys.argv) > 4 else "f32"
 
 
 def main():
@@ -31,31 +40,70 @@ def main():
     cfg = {"dataset": "imagenet", "depth": DEPTH} if "resnet" in MODEL else {}
     model = get_model(MODEL)(rngs=nnx.Rngs(0), **cfg)
     model.train()
-    trainer = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.1, "momentum": 0.9}})
+    if DTYPE == "bf16":
+        from quantized_tpu.training.qat import set_compute_dtype
+
+        set_compute_dtype(model, jnp.bfloat16)
 
     size = getattr(model, "input_size", 224)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, size, size, 3)), jnp.float32)
     y = jnp.asarray(np.random.default_rng(1).integers(0, 1000, (B,)), jnp.int32)
 
-    gd, st = nnx.split((trainer.model, trainer._opt))
+    gd, params, rest = nnx.split(model, nnx.Param, ...)
 
-    # scan the raw loss+grad+sgd body (the public jitted step re-merges
-    # module state per call, which the scan harness cannot thread)
-    def raw_step(c, st, x, y):
-        m, opt = nnx.merge(gd, st)
+    def step(carry, xx, yy):
+        p, r = carry
 
-        def loss_fn(mm):
-            logits = mm((x + c).astype(x.dtype))
-            one_hot = jax.nn.one_hot(y, logits.shape[-1])
-            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, -1))
+        def loss_fn(both):
+            # ``r`` rides as a differentiated arg purely to lift its tracers
+            # to the grad trace (train-mode forward MUTATES BatchStats —
+            # observer EMAs, BN stats); its grads are zero (write-only in
+            # train mode) and DCE away.
+            p_, r_ = both
+            m = nnx.merge(gd, p_, r_)
+            logits = m(xx)
+            one_hot = jax.nn.one_hot(yy, logits.shape[-1])
+            loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, -1))
+            _, _, r_new = nnx.split(m, nnx.Param, ...)
+            return loss, r_new
 
-        loss, grads = nnx.value_and_grad(loss_fn)(m)
-        params = nnx.state(m, nnx.Param)
-        jax.tree.map(lambda p, g: p - 0.1 * g, params, grads)  # SGD cost model
-        return jnp.float32(loss) * 1e-9
+        (gp, _), r_new = jax.grad(loss_fn, has_aux=True, allow_int=True)((p, r))
+        return jax.tree.map(lambda pp, g: pp - 0.01 * g, p, gp), r_new
 
-    dt = per_iter_time(raw_step, st, x, y, target_secs=1.0)
-    print(f"device={jax.devices()[0].device_kind} model={MODEL}-{DEPTH} batch={B}")
+    def make(loops):
+        @jax.jit
+        def run(p0, r0, xx, yy):
+            (p, _), _ = jax.lax.scan(
+                lambda c, _: (step(c, xx, yy), None), (p0, r0), None, length=loops
+            )
+            return jax.tree.reduce(
+                lambda a, leaf: a + jnp.max(jnp.abs(leaf)).astype(jnp.float32),
+                p,
+                jnp.float32(0.0),
+            )
+
+        return run
+
+    probe = 8
+    run = make(probe)
+    float(run(params, rest, x, y))  # compile + warm (value fetch = the only barrier)
+    t0 = time.perf_counter()
+    float(run(params, rest, x, y))
+    est = max((time.perf_counter() - t0 - TUNNEL_OVERHEAD_S) / probe, 1e-7)
+    loops = min(max(probe, int(1.5 / est)), MAX_LOOPS)
+    if loops > probe * 1.5:
+        run = make(loops)
+        float(run(params, rest, x, y))
+    else:
+        loops = probe
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, rest, x, y))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    dt = max(ts[len(ts) // 2] - TUNNEL_OVERHEAD_S, 1e-9 * loops) / loops
+    print(f"device={jax.devices()[0].device_kind} model={MODEL}-{DEPTH} batch={B} dtype={DTYPE}")
     print(f"QAT train step: {dt*1e3:.2f} ms -> {B/dt:.0f} img/s")
 
 

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "all-gather convs, int32 psum-scatter fc) instead of "
                         "GSPMD (requires --mesh-model-parallel)")
     p.add_argument("--export-reference", default="", help="export weights to a reference-format .pth.tar and exit")
+    p.add_argument("--compute-dtype", default="f32", choices=["f32", "bf16"],
+                   help="training matmul/conv operand dtype: bf16 runs every conv/GEMM on the MXU's "
+                        "native operand type (fake-quant boundaries, observers, BN stats and SGD stay "
+                        "f32) — +21%% QAT step throughput on ResNet-50 (bench/train_step.py)")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--profile", default="", metavar="DIR", help="write an XProf/TensorBoard trace of the eval to DIR")
     p.add_argument("--debug-nans", action="store_true", help="jax_debug_nans: re-run any op producing NaN un-jitted and raise with its location (SURVEY.md section 5 sanitizer mode)")
@@ -173,7 +177,13 @@ def main(argv=None):
         mesh = create_mesh(model_parallel=args.mesh_model_parallel)
         logger.info("mesh: %s", dict(mesh.shape))
 
-    trainer = Trainer(model, regime=regime, mesh=mesh, print_freq=args.print_freq)
+    trainer = Trainer(
+        model,
+        regime=regime,
+        mesh=mesh,
+        print_freq=args.print_freq,
+        compute_dtype=None if args.compute_dtype == "f32" else args.compute_dtype,
+    )
 
     if args.calibrate:
         model.train()

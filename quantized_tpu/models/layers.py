@@ -57,6 +57,20 @@ def conv2d_nhwc(
     )
 
 
+def _cast_op(module, op, *tensors):
+    """Run ``op`` on ``tensors`` in the module's ``compute_dtype`` (if set),
+    casting the result back to f32. TPU-first mixed precision for training:
+    the MXU takes bf16 operands natively and the saved-for-backward residuals
+    halve, while everything numerically delicate (fake-quant boundaries,
+    observer EMAs, BN stats, loss, grads, SGD) stays f32. The attribute is
+    absent by default (reference semantics, f32 end-to-end) and set model-wide
+    by ``training.qat.set_compute_dtype``."""
+    cd = getattr(module, "compute_dtype", None)
+    if cd is None:
+        return op(*tensors)
+    return op(*(t.astype(cd) for t in tensors)).astype(jnp.float32)
+
+
 class Conv2d(nnx.Module):
     """Float conv, NHWC/HWIO — the fp32 baseline twin of QConv2d (reference:
     plain nn.Conv2d in models/resnet.py)."""
@@ -87,7 +101,12 @@ class Conv2d(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((out_channels,), jnp.float32)) if use_bias else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = conv2d_nhwc(x, self.kernel.value, self.stride, self.padding, self.dilation, self.groups)
+        y = _cast_op(
+            self,
+            lambda xx, ww: conv2d_nhwc(xx, ww, self.stride, self.padding, self.dilation, self.groups),
+            x,
+            self.kernel.value,
+        )
         if self.bias is not None:
             y = y + self.bias.value
         return y
@@ -111,7 +130,7 @@ class Linear(nnx.Module):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = x @ self.weight.value.T
+        y = _cast_op(self, lambda xx, ww: xx @ ww.T, x, self.weight.value)
         if self.bias is not None:
             y = y + self.bias.value
         return y
@@ -210,7 +229,12 @@ class QConv2d(nnx.Module):
         qweight, qbias = self._quant_weights()
 
         def conv_op(xx, ww, bb):
-            y = conv2d_nhwc(xx, ww, self.stride, self.padding, self.dilation, self.groups)
+            y = _cast_op(
+                self,
+                lambda a, b: conv2d_nhwc(a, b, self.stride, self.padding, self.dilation, self.groups),
+                xx,
+                ww,
+            )
             if bb is not None:
                 y = y + bb
             return y
@@ -275,7 +299,7 @@ class QLinear(nnx.Module):
         )
 
         def linear_op(xx, ww, bb):
-            y = xx @ ww.T
+            y = _cast_op(self, lambda a, b: a @ b.T, xx, ww)
             if bb is not None:
                 y = y + bb
             return y

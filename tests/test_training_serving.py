@@ -48,6 +48,38 @@ def test_qat_trains_and_generalizes():
     assert best > 45.0, best  # 10 classes -> chance is 10%
 
 
+def test_bf16_compute_dtype_trains_close_to_f32():
+    """Mixed-precision QAT (round 4, Trainer compute_dtype='bf16'): every
+    conv/GEMM runs in bf16 while fake-quant boundaries, observers, BN stats
+    and SGD stay f32. The switch must (a) tag every matmul-bearing layer,
+    (b) keep the forward within bf16 operand-rounding of the f32 path, and
+    (c) still train (the reference has no such mode — fp32 CUDA throughout)."""
+    from quantized_tpu.training.qat import set_compute_dtype
+
+    model = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    model.eval()
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((8, 32, 32, 3)), jnp.float32)
+    y_f32 = model(x)
+    n = set_compute_dtype(model, jnp.bfloat16)
+    assert n == 22  # 19 convs + downsample convs + fc for depth-20 CIFAR
+    y_bf16 = model(x)
+    # bf16 operand rounding: ~2^-8 relative per matmul, compounded over depth
+    rel = float(jnp.max(jnp.abs(y_bf16 - y_f32)) / (jnp.max(jnp.abs(y_f32)) + 1e-6))
+    assert 0 < rel < 0.15, rel  # changed (bf16 is live) but close
+
+    train = get_dataset("synthetic", "train", get_transform("cifar10", augment=False))
+    model2 = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    tr = Trainer(
+        model2,
+        regime={0: {"optimizer": "SGD", "lr": 0.01, "momentum": 0.9}},
+        print_freq=10**6,
+        compute_dtype="bf16",
+    )
+    m0 = tr.train_epoch(list(train.batches(64, drop_remainder=True))[:6], 0)
+    m1 = tr.train_epoch(list(train.batches(64, drop_remainder=True))[:6], 1)
+    assert m1["loss"] < m0["loss"]
+
+
 def test_trainer_regime_epoch_switch_changes_lr():
     model = get_model("resnet")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
     tr = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.1}, 2: {"lr": 0.001}})

@@ -37,6 +37,10 @@ if "--cpu" in sys.argv:  # run off-TPU (e.g. while the chip is busy)
     sys.argv.remove("--cpu")
     jax.config.update("jax_platforms", "cpu")
 
+BF16_ARM = "--bf16" in sys.argv  # add a bf16-compute-trained arm (round 4)
+if BF16_ARM:
+    sys.argv.remove("--bf16")
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -121,6 +125,22 @@ def main():
     results["int8-strict"], preds["int8-strict"] = top1(
         convert_to_int(fresh(), weight_bits=8, weight_quant="per_tensor"),
         val.batches(BATCH))
+
+    if BF16_ARM:
+        # bf16 compute-dtype arm (round 4, training.qat.set_compute_dtype):
+        # SAME init/regime/data order, convs/GEMMs in bf16 during training.
+        # The claim under test: mixed-precision QAT converges to the same
+        # top-1 band as the reference-semantics f32 path.
+        model_b = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+        trainer_b = Trainer(model_b, regime=regime, compute_dtype="bf16")
+        for e in range(EPOCHS):
+            trainer_b.train_epoch(train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
+        model_b.eval()
+        from quantized_tpu.training.qat import set_compute_dtype
+
+        set_compute_dtype(model_b, None)  # evaluate in reference-semantics f32
+        results["fake-quant[bf16-trained]"], preds["fake-quant[bf16-trained]"] = top1(
+            model_b, val.batches(BATCH))
 
     base = results["fake-quant"]
     base_pred = preds["fake-quant"]

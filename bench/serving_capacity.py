@@ -38,6 +38,7 @@ import numpy as np
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 BUCKETS = [int(a) for a in ARGS] or [8, 32, 64, 128]
 DEPTH = 1 if "--depth1" in sys.argv else 4
+FEEDERS = 2 if "--feeders2" in sys.argv else 1
 MEASURE_SECS = 10.0
 STAGE_POOL = 4  # staged device batches per bucket (results rotate)
 
@@ -149,7 +150,7 @@ def main():
         def feeder():
             # closed loop at 6x bucket concurrency: enough standing requests
             # to fill the dispatch pipeline (depth 4) plus assembly slack
-            inflight_sem = threading.Semaphore(6 * b)
+            inflight_sem = threading.Semaphore(max(1, 6 * b // FEEDERS))
 
             def cb(_fut):
                 with lock:
@@ -165,8 +166,9 @@ def main():
                 except Exception:
                     break
 
-        th = threading.Thread(target=feeder, daemon=True)
-        th.start()
+        ths = [threading.Thread(target=feeder, daemon=True) for _ in range(FEEDERS)]
+        for th in ths:
+            th.start()
         time.sleep(2.0)  # warm the loop
         with lock:
             n0 = done_count[0]
@@ -177,7 +179,8 @@ def main():
         t1 = time.perf_counter()
         stop_flag.set()
         batcher.stop()
-        th.join(timeout=10)
+        for th in ths:
+            th.join(timeout=10)
         rate = (n1 - n0) / (t1 - t0)
         st = batcher.stats()
         frac = rate / pure_rate

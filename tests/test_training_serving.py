@@ -102,6 +102,32 @@ def test_trainer_on_mesh_dp_tp():
     assert m1["loss"] < m0["loss"]
 
 
+def test_trainer_on_mesh_composes_with_bf16_compute():
+    """compute_dtype='bf16' under DP+TP sharding: the per-layer casts are
+    elementwise and must not disturb the partitioning (params remain f32 and
+    keep their shardings; only matmul operands cast in-graph)."""
+    from quantized_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    train = get_dataset("synthetic", "train", get_transform("cifar10", augment=False))
+    model = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    tr = Trainer(
+        model,
+        regime={0: {"optimizer": "SGD", "lr": 0.05, "momentum": 0.9}},
+        mesh=mesh,
+        print_freq=10**6,
+        compute_dtype="bf16",
+    )
+    m0 = tr.train_epoch(list(train.batches(64, drop_remainder=True))[:4], 0)
+    m1 = tr.train_epoch(list(train.batches(64, drop_remainder=True))[:4], 1)
+    assert m1["loss"] < m0["loss"]
+    # params stayed f32 (the cast is operand-side, not storage-side)
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(nnx.state(model, nnx.Param))
+    )
+
+
 # ---------------------------------------------------------------- serving
 
 

@@ -9,7 +9,8 @@ live (nothing DCE-able) and the tunnel round-trip amortizes over the loop
 
 Usage: python bench/train_step.py [B] [model] [depth] [dtype]
   dtype: f32 (default, reference semantics) | bf16 (mixed: convs/GEMMs in
-  bf16, fake-quant boundaries + SGD math in f32 — Trainer compute_dtype)
+  bf16, fake-quant boundaries + SGD math in f32 — Trainer compute_dtype);
+  append -remat (e.g. bf16-remat) to rematerialize the forward in backward
 """
 
 from __future__ import annotations
@@ -31,6 +32,9 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 MODEL = sys.argv[2] if len(sys.argv) > 2 else "resnet_quantized_float_bn"
 DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 18
 DTYPE = sys.argv[4] if len(sys.argv) > 4 else "f32"
+REMAT = DTYPE.endswith("-remat")
+if REMAT:
+    DTYPE = DTYPE[: -len("-remat")]
 
 
 def main():
@@ -51,6 +55,20 @@ def main():
 
     gd, params, rest = nnx.split(model, nnx.Param, ...)
 
+    def apply(p_, r_, xx):
+        m = nnx.merge(gd, p_, r_)
+        logits = m(xx)
+        _, _, r_new = nnx.split(m, nnx.Param, ...)
+        return logits, r_new
+
+    if REMAT:
+        # rematerialized forward: recompute activations in the backward
+        # instead of saving them — trades (cheap, MXU-idle) FLOPs for the
+        # HBM traffic the profile shows the backward is bound by
+        apply = jax.checkpoint(
+            apply, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
     def step(carry, xx, yy):
         p, r = carry
 
@@ -60,11 +78,9 @@ def main():
             # observer EMAs, BN stats); its grads are zero (write-only in
             # train mode) and DCE away.
             p_, r_ = both
-            m = nnx.merge(gd, p_, r_)
-            logits = m(xx)
+            logits, r_new = apply(p_, r_, xx)
             one_hot = jax.nn.one_hot(yy, logits.shape[-1])
             loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, -1))
-            _, _, r_new = nnx.split(m, nnx.Param, ...)
             return loss, r_new
 
         (gp, _), r_new = jax.grad(loss_fn, has_aux=True, allow_int=True)((p, r))

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
     p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
     p.add_argument("--serve-u8", action="store_true", help="serve raw uint8 images (normalize+quantize fused into the engine ingest)")
+    p.add_argument("--serve-timeout", type=float, default=0.0, metavar="SECS",
+                   help="serving SLA: fail requests still queued after SECS with TimeoutError "
+                        "(0 = no deadline); in-flight batches always complete")
     p.add_argument("--serve-pipeline", type=int, default=1, metavar="DEPTH",
                    help="batches kept in flight by the scheduler (1 = lowest latency; "
                         "4 measured ~3x throughput at device capacity — bench/serving_capacity.py)")
@@ -244,7 +247,8 @@ def main(argv=None):
         return serve(model, mesh=mesh, batch_sizes=(1, 8, 32, args.batch_size),
                      max_steps=args.serve_steps,
                      ingest="u8" if args.serve_u8 else "f32",
-                     pipeline_depth=args.serve_pipeline)
+                     pipeline_depth=args.serve_pipeline,
+                     request_timeout_s=args.serve_timeout or None)
 
     if args.evaluate:
         if args.profile:

@@ -122,6 +122,7 @@ class ContinuousBatcher:
         dtype=np.float32,
         pipeline_depth: int = 1,
         pad_workers: int = 4,
+        request_timeout_s: Optional[float] = None,
     ):
         """``pipeline_depth``: number of batches allowed in flight before the
         scheduler blocks on results. Depth 2 exploits JAX's async dispatch —
@@ -137,7 +138,12 @@ class ContinuousBatcher:
         of their sum (bench/serving_capacity.py measures both).
 
         ``pad_workers``: threads for the pad memcpy of large buckets (numpy
-        row copies release the GIL); 0 = single-threaded assembly."""
+        row copies release the GIL); 0 = single-threaded assembly.
+
+        ``request_timeout_s``: serving SLA — a request still queued this many
+        seconds after admission fails fast with ``TimeoutError`` instead of
+        riding an overloaded queue (checked at drain time; in-flight batches
+        always complete). ``None`` (default) = no deadline."""
         self.executor = executor
         self.request_log = RequestLog(request_log) if request_log else None
         self.input_shape = tuple(input_shape)
@@ -145,6 +151,8 @@ class ContinuousBatcher:
         self.batch_sizes = tuple(sorted(set(batch_sizes)))
         self.pipeline_depth = max(1, int(pipeline_depth))
         self.max_wait_s = max_wait_ms / 1e3
+        self.request_timeout_s = request_timeout_s
+        self.requests_timed_out = 0
         self.pad_workers = max(0, int(pad_workers))
         self._pad_pool = (
             ThreadPoolExecutor(self.pad_workers, thread_name_prefix="qtpu-pad")
@@ -198,16 +206,33 @@ class ContinuousBatcher:
         return fut
 
     # ------------------------------------------------------------- scheduler
+    def _expired(self, r: _Request, now: float) -> bool:
+        """SLA check at drain time: fail a request that outlived its deadline
+        in the queue (in-flight batches always complete)."""
+        if self.request_timeout_s is None or now - r.t_submit <= self.request_timeout_s:
+            return False
+        r.future.set_exception(
+            TimeoutError(
+                f"request {r.rid} queued {now - r.t_submit:.3f}s > "
+                f"request_timeout_s={self.request_timeout_s}"
+            )
+        )
+        self.requests_timed_out += 1
+        return True
+
     def _drain(self, limit: int) -> List[_Request]:
         out: List[_Request] = []
         deadline = time.perf_counter() + self.max_wait_s
         while len(out) < limit:
             timeout = deadline - time.perf_counter()
             try:
-                out.append(self._queue.get(timeout=max(timeout, 0.0005) if out else 0.05))
+                r = self._queue.get(timeout=max(timeout, 0.0005) if out else 0.05)
             except queue.Empty:
                 if out or self._stop.is_set():
                     break
+                continue
+            if not self._expired(r, time.perf_counter()):
+                out.append(r)
         return out
 
     def _pick_bucket(self, n: int) -> int:
@@ -339,6 +364,7 @@ class ContinuousBatcher:
         return {
             "requests": self.requests_done,
             "batches": self.batches_run,
+            "timed_out": self.requests_timed_out,
             "occupancy": self.requests_done / max(total, 1),
             "latency_p50_ms": float(np.percentile(lat, 50)),
             "latency_p95_ms": float(np.percentile(lat, 95)),

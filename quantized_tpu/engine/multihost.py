@@ -119,9 +119,11 @@ class MultiHostBatcher(ContinuousBatcher):
             if timeout <= 0:
                 break
             try:
-                out.append(self._queue.get(timeout=max(timeout, 0.0005)))
+                r = self._queue.get(timeout=max(timeout, 0.0005))
             except queue.Empty:
                 break
+            if not self._expired(r, time.perf_counter()):
+                out.append(r)
         return out
 
     def _coordinate(

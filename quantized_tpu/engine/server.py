@@ -40,6 +40,7 @@ def serve(
     demo_traffic: bool = True,
     ingest: str = "f32",
     pipeline_depth: int = 1,
+    request_timeout_s=None,
 ):
     """Bring up the batcher (+ optional HTTP endpoint); with ``demo_traffic``
     generates synthetic request load and logs latency/throughput stats every
@@ -57,7 +58,8 @@ def serve(
     ex = make_executor(model, mesh, ingest=ingest)
     dtype = np.uint8 if ingest == "u8" else np.float32
     batcher = ContinuousBatcher(ex, input_shape, batch_sizes, dtype=dtype,
-                                pipeline_depth=pipeline_depth).warmup().start()
+                                pipeline_depth=pipeline_depth,
+                                request_timeout_s=request_timeout_s).warmup().start()
     logger.info("server up: buckets=%s input=%s", tuple(batch_sizes), input_shape)
 
     httpd = None

@@ -212,6 +212,37 @@ def test_pipelined_batcher_correct_under_burst_and_lull():
     assert b.stats()["requests"] == 29
 
 
+def test_batcher_request_timeout_sla():
+    """request_timeout_s (round 4): requests that outlive their deadline in
+    the queue fail fast with TimeoutError; fresh requests still serve, and
+    the timed-out count lands in stats()."""
+    import time as _t
+
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((4 * 4 * 3, 7)).astype(np.float32)
+    b = ContinuousBatcher(
+        _linear_executor(w), (4, 4, 3), batch_sizes=(4,), max_wait_ms=2,
+        request_timeout_s=0.05,
+    )
+    imgs = rng.standard_normal((6, 4, 4, 3)).astype(np.float32)
+    # submit BEFORE start(): the requests age past the 50 ms deadline in queue
+    futs_old = [b.submit(im) for im in imgs]
+    _t.sleep(0.12)
+    b.start()
+    for f in futs_old:
+        with pytest.raises(TimeoutError, match="request_timeout_s"):
+            f.result(timeout=30)
+    # fresh traffic is unaffected
+    futs_new = [b.submit(im) for im in imgs]
+    outs = np.stack([f.result(timeout=30) for f in futs_new])
+    b.stop()
+    np.testing.assert_allclose(outs, imgs.reshape(6, -1) @ w, rtol=1e-5, atol=1e-5)
+    s = b.stats()
+    assert s["timed_out"] == 6 and s["requests"] == 6
+
+
 def test_batcher_rejects_bad_shape():
     from quantized_tpu.engine.batching import ContinuousBatcher
 

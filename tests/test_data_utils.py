@@ -9,6 +9,50 @@ from quantized_tpu.data import get_dataset, get_transform
 from quantized_tpu.utils import AverageMeter, ResultsLog, accuracy
 
 
+def test_real_data_dropin_cifar_and_mnist(tmp_path, monkeypatch):
+    """The QTPU_DATA_DIR drop-in path (VERDICT standing item): plant REAL
+    on-disk formats — CIFAR-10 python pickles and MNIST idx files — and the
+    registry must load those bytes (synthetic=False), so real datasets work
+    the moment they land in the sandbox."""
+    import pickle
+
+    from quantized_tpu.data import datasets as D
+
+    rng = np.random.default_rng(0)
+    # CIFAR-10: 5 train pickles + test_batch, torchvision's exact layout
+    # (N,3072) uint8 rows in CHW order, byte-keyed dict)
+    cdir = tmp_path / "cifar-10-batches-py"
+    cdir.mkdir()
+    train_rows, train_labels = [], []
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (4, 3072), dtype=np.uint8)
+        labels = rng.integers(0, 10, 4).tolist()
+        with open(cdir / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        train_rows.append(data)
+        train_labels.extend(labels)
+    with open(cdir / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.integers(0, 256, (4, 3072), dtype=np.uint8),
+                     b"labels": rng.integers(0, 10, 4).tolist()}, f)
+    # MNIST: idx3/idx1 with their 16/8-byte headers
+    mdir = tmp_path / "MNIST" / "raw"
+    mdir.mkdir(parents=True)
+    mnist_imgs = rng.integers(0, 256, (6, 28, 28), dtype=np.uint8)
+    (mdir / "train-images-idx3-ubyte").write_bytes(b"\x00" * 16 + mnist_imgs.tobytes())
+    (mdir / "train-labels-idx1-ubyte").write_bytes(b"\x00" * 8 + bytes(range(6)))
+
+    monkeypatch.setattr(D, "DATA_DIR", str(tmp_path))
+    cifar = get_dataset("cifar10", "train", None)
+    assert not cifar.synthetic and len(cifar) == 20
+    want = np.concatenate(train_rows).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(cifar.images, want)
+    assert list(cifar.labels) == train_labels
+    mnist = get_dataset("mnist", "train", None)
+    assert not mnist.synthetic and len(mnist) == 6
+    np.testing.assert_array_equal(mnist.images[:, :, :, 0], mnist_imgs)
+    assert list(mnist.labels) == list(range(6))
+
+
 def test_dataset_registry_and_synthetic_fallback():
     ds = get_dataset("cifar10", "val", get_transform("cifar10"))
     assert len(ds) > 0

@@ -37,7 +37,7 @@ import numpy as np
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 BUCKETS = [int(a) for a in ARGS] or [8, 32, 64, 128]
-DEPTH = 1 if "--depth1" in sys.argv else 4
+DEPTH = 1 if "--depth1" in sys.argv else (8 if "--depth8" in sys.argv else 4)
 FEEDERS = 2 if "--feeders2" in sys.argv else 1
 MEASURE_SECS = 10.0
 STAGE_POOL = 4  # staged device batches per bucket (results rotate)

@@ -212,6 +212,35 @@ def test_pipelined_batcher_correct_under_burst_and_lull():
     assert b.stats()["requests"] == 29
 
 
+def test_pipelined_batcher_executor_failure_is_per_batch():
+    """Depth>1 dispatcher: an executor exception fails exactly that batch's
+    futures; earlier and later batches still serve correctly."""
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4 * 4 * 3, 7)).astype(np.float32)
+    calls = [0]
+
+    def flaky(batch):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise RuntimeError("injected device fault")
+        return batch.reshape(batch.shape[0], -1) @ w
+
+    b = ContinuousBatcher(flaky, (4, 4, 3), batch_sizes=(4,), max_wait_ms=2,
+                          pipeline_depth=3).start()
+    imgs = rng.standard_normal((12, 4, 4, 3)).astype(np.float32)
+    futs = [b.submit(im) for im in imgs]
+    results = [f.exception(timeout=30) or f.result() for f in futs]
+    b.stop()
+    failed = [i for i, r in enumerate(results) if isinstance(r, RuntimeError)]
+    served = [i for i, r in enumerate(results) if not isinstance(r, RuntimeError)]
+    assert len(failed) == 4 and failed == list(range(failed[0], failed[0] + 4))
+    for i in served:
+        np.testing.assert_allclose(results[i], imgs[i].reshape(-1) @ w, rtol=1e-5, atol=1e-5)
+    assert b.stats()["requests"] == 8  # the failed batch never resolves as done
+
+
 def test_batcher_request_timeout_sla():
     """request_timeout_s (round 4): requests that outlive their deadline in
     the queue fail fast with TimeoutError; fresh requests still serve, and

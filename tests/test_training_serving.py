@@ -272,6 +272,37 @@ def test_batcher_request_timeout_sla():
     assert s["timed_out"] == 6 and s["requests"] == 6
 
 
+def test_http_endpoint_predict_and_stats():
+    """The serving HTTP surface (/predict with raw bytes + X-Shape/X-Dtype
+    headers, /stats JSON) against a live batcher."""
+    import json
+    import urllib.request
+
+    from quantized_tpu.engine.batching import ContinuousBatcher
+    from quantized_tpu.engine.server import _start_http
+
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((4 * 4 * 3, 7)).astype(np.float32)
+    b = ContinuousBatcher(_linear_executor(w), (4, 4, 3), batch_sizes=(4,), max_wait_ms=2).start()
+    httpd = _start_http(b, 0)  # ephemeral port
+    port = httpd.server_address[1]
+    try:
+        img = rng.standard_normal((4, 4, 3)).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=img.tobytes(),
+            headers={"X-Shape": "4,4,3", "X-Dtype": "f32"}, method="POST")
+        resp = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        want = img.reshape(-1) @ w
+        assert resp["top5"][0] == int(np.argmax(want))
+        np.testing.assert_allclose(resp["logits"][0], want.max(), rtol=1e-5)
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert stats["requests"] == 1 and stats["timed_out"] == 0
+    finally:
+        httpd.shutdown()
+        b.stop()
+
+
 def test_batcher_rejects_bad_shape():
     from quantized_tpu.engine.batching import ContinuousBatcher
 

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true", help="start the continuous-batching server")
     p.add_argument("--serve-steps", type=int, default=0, help="serve for N scheduler steps then exit (0=forever)")
     p.add_argument("--serve-u8", action="store_true", help="serve raw uint8 images (normalize+quantize fused into the engine ingest)")
+    p.add_argument("--serve-http", type=int, default=0, metavar="PORT",
+                   help="expose the server over HTTP on PORT (/predict raw-bytes POST with "
+                        "X-Shape/X-Dtype headers, /stats JSON; 0 = no endpoint)")
     p.add_argument("--serve-timeout", type=float, default=0.0, metavar="SECS",
                    help="serving SLA: fail requests still queued after SECS with TimeoutError "
                         "(0 = no deadline); in-flight batches always complete")
@@ -248,6 +251,7 @@ def main(argv=None):
                      max_steps=args.serve_steps,
                      ingest="u8" if args.serve_u8 else "f32",
                      pipeline_depth=args.serve_pipeline,
+                     http_port=args.serve_http or None,
                      request_timeout_s=args.serve_timeout or None)
 
     if args.evaluate:

@@ -10,6 +10,7 @@ Usage: python bench/train_profile.py [B] [depth] [dtype]
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])

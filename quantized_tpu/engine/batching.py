@@ -193,6 +193,8 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------- client API
     def submit(self, image: np.ndarray) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is stopped")
         if tuple(image.shape) != self.input_shape:
             raise ValueError(f"expected image shape {self.input_shape}, got {image.shape}")
         with self._rid_lock:
@@ -211,12 +213,9 @@ class ContinuousBatcher:
         in the queue (in-flight batches always complete)."""
         if self.request_timeout_s is None or now - r.t_submit <= self.request_timeout_s:
             return False
-        r.future.set_exception(
-            TimeoutError(
-                f"request {r.rid} queued {now - r.t_submit:.3f}s > "
-                f"request_timeout_s={self.request_timeout_s}"
-            )
-        )
+        self._complete(r.future, exc=TimeoutError(
+            f"request {r.rid} queued {now - r.t_submit:.3f}s > "
+            f"request_timeout_s={self.request_timeout_s}"))
         self.requests_timed_out += 1
         return True
 
@@ -241,6 +240,20 @@ class ContinuousBatcher:
                 return b
         return self.batch_sizes[-1]
 
+    @staticmethod
+    def _complete(fut: Future, *, result=None, exc=None) -> bool:
+        """Complete a future, tolerating client-side cancel() — without this
+        an InvalidStateError would kill the scheduler/dispatcher thread and
+        deadlock the assembler on the bounded dispatch queue."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+            return True
+        except Exception:
+            return False
+
     def _resolve(self, entry) -> None:
         """Force one in-flight batch's results and complete its futures.
         With async dispatch, device/transfer errors surface HERE, not at the
@@ -250,11 +263,11 @@ class ContinuousBatcher:
             logits = np.asarray(out)
         except Exception as e:
             for r in reqs:
-                r.future.set_exception(e)
+                self._complete(r.future, exc=e)
             return
         t_done = time.perf_counter()
         for i, r in enumerate(reqs):
-            r.future.set_result(logits[i])
+            self._complete(r.future, result=logits[i])
             self.latencies_ms.append((t_done - r.t_submit) * 1e3)
         self.batches_run += 1
         self.requests_done += len(reqs)
@@ -297,7 +310,7 @@ class ContinuousBatcher:
                 out.copy_to_host_async()
         except Exception as e:
             for r in reqs:
-                r.future.set_exception(e)
+                self._complete(r.future, exc=e)
             return None
         return (reqs, len(batch), out)
 

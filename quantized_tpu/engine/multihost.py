@@ -145,14 +145,14 @@ class MultiHostBatcher(ContinuousBatcher):
         requests plus everything still queued, so no client blocks forever."""
         for r in reqs:
             if not r.future.done():
-                r.future.set_exception(exc)
+                self._complete(r.future, exc=exc)
         while True:
             try:
                 r = self._queue.get_nowait()
             except queue.Empty:
                 break
             if not r.future.done():
-                r.future.set_exception(exc)
+                self._complete(r.future, exc=exc)
         self._stop.set()
 
     def _loop(self):
@@ -186,11 +186,11 @@ class MultiHostBatcher(ContinuousBatcher):
                 # round so every host exits the loop together.
                 err = e
                 for r in reqs:
-                    r.future.set_exception(e)
+                    self._complete(r.future, exc=e)
                 continue
             t_done = time.perf_counter()
             for i, r in enumerate(reqs):
-                r.future.set_result(logits[i])
+                self._complete(r.future, result=logits[i])
                 self.latencies_ms.append((t_done - r.t_submit) * 1e3)
             self.batches_run += 1
             self.requests_done += len(reqs)

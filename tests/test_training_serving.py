@@ -272,6 +272,34 @@ def test_batcher_request_timeout_sla():
     assert s["timed_out"] == 6 and s["requests"] == 6
 
 
+def test_batcher_survives_client_cancel_and_rejects_post_stop_submit():
+    """A client cancelling its Future must not kill the scheduler thread
+    (set_result on a cancelled Future raises InvalidStateError); and
+    submit() after stop() raises instead of hanging forever."""
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((4 * 4 * 3, 7)).astype(np.float32)
+    b = ContinuousBatcher(_linear_executor(w), (4, 4, 3), batch_sizes=(4,),
+                          max_wait_ms=2, pipeline_depth=2)
+    imgs = rng.standard_normal((8, 4, 4, 3)).astype(np.float32)
+    futs = [b.submit(im) for im in imgs]
+    futs[2].cancel()  # queued, not started -> cancel() succeeds
+    b.start()
+    for i, f in enumerate(futs):
+        if i == 2:
+            continue
+        np.testing.assert_allclose(f.result(timeout=30), imgs[i].reshape(-1) @ w,
+                                   rtol=1e-5, atol=1e-5)
+    # scheduler survived the cancelled future: fresh traffic still serves
+    f2 = b.submit(imgs[0])
+    np.testing.assert_allclose(f2.result(timeout=30), imgs[0].reshape(-1) @ w,
+                               rtol=1e-5, atol=1e-5)
+    b.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        b.submit(imgs[0])
+
+
 def test_http_endpoint_predict_and_stats():
     """The serving HTTP surface (/predict with raw bytes + X-Shape/X-Dtype
     headers, /stats JSON) against a live batcher."""

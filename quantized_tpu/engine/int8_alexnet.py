@@ -156,4 +156,6 @@ def build_int8_alexnet(model: nnx.Module, weight_bits: int = 8,
         return jnp.asarray(factor < 0) if (factor < 0).any() else None
 
     neg_masks = [neg_mask(model.bn1), neg_mask(model.bn2), neg_mask(model.bn5)]
-    return Int8AlexNet(convs, fcs, grids, neg_masks)
+    eng = Int8AlexNet(convs, fcs, grids, neg_masks)
+    eng.input_size = getattr(model, "input_size", 224)
+    return eng

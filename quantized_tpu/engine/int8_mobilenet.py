@@ -91,4 +91,6 @@ def build_int8_mobilenet(model: nnx.Module, weight_bits: int = 8,
     if not isinstance(model.fc, QLinear):
         raise TypeError("model.fc must be QLinear")
     fc = _convert_linear(model.fc, None, weight_bits, int4_pack=False)
-    return Int8MobileNet(convs, grids, fc)
+    eng = Int8MobileNet(convs, grids, fc)
+    eng.input_size = getattr(model, "input_size", 224)
+    return eng

@@ -460,7 +460,11 @@ def build_int8_resident(model: nnx.Module, weight_bits: int = 8,
     if not isinstance(model.fc, QLinear):
         raise TypeError("model.fc must be QLinear")
     fc = _convert_linear(model.fc, None, weight_bits, int4_pack=False)
-    return Int8ResNet(stem, stem_out_grid, stages, fc, imagenet_pool=is_imagenet)
+    eng = Int8ResNet(stem, stem_out_grid, stages, fc, imagenet_pool=is_imagenet)
+    # serving needs the geometry (serve() reads input_size; a CIFAR engine
+    # must not default to 224)
+    eng.input_size = getattr(model, "input_size", 224)
+    return eng
 
 
 def _grid_of_qconv(qconv: QConv2d) -> Grid:

@@ -83,13 +83,19 @@ def serve(
                 step += 1
                 if len(pending) > 4 * max(batch_sizes):
                     for f in pending:
-                        f.result(timeout=120)
+                        try:
+                            f.result(timeout=120)
+                        except TimeoutError:
+                            pass  # SLA-expired under --serve-timeout: counted in stats
                     pending.clear()
                 if time.time() - last_log > 1.0:
                     logger.info("serve stats: %s", batcher.stats())
                     last_log = time.time()
             for f in pending:
-                f.result(timeout=120)
+                try:
+                    f.result(timeout=120)
+                except TimeoutError:
+                    pass
             logger.info("final serve stats: %s", batcher.stats())
         else:
             while max_steps == 0 or batcher.steps < max_steps:

@@ -36,6 +36,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+FAMILY = "alexnet" if "--alexnet" in sys.argv else "resnet50"
 BUCKETS = [int(a) for a in ARGS] or [8, 32, 64, 128]
 DEPTH = 1 if "--depth1" in sys.argv else (8 if "--depth8" in sys.argv else 4)
 FEEDERS = 2 if "--feeders2" in sys.argv else 1
@@ -55,9 +56,14 @@ def main():
     from quantized_tpu.utils.timing import per_iter_time
 
     with host_build():
-        model = build_int8_resident(
-            _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
-        )
+        if FAMILY == "alexnet":
+            from quantized_tpu.engine import build_int8_alexnet
+
+            model = build_int8_alexnet(_calibrated_model("alexnet_quantized"))
+        else:
+            model = build_int8_resident(
+                _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
+            )
         apply_cached_backends(model, jnp.zeros((128, 224, 224, 3), jnp.float32))
     put_model(model)
     graphdef, state = nnx.split(model)

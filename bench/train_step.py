@@ -7,7 +7,7 @@ iteration consumes the previous SGD update, so the whole fwd+bwd+update is
 live (nothing DCE-able) and the tunnel round-trip amortizes over the loop
 (see utils/timing.py for why naive timing lies through the axon tunnel).
 
-Usage: python bench/train_step.py [B] [model] [depth] [dtype]
+Usage: python bench/train_step.py [B] [model] [depth] [dtype] [dataset]
   dtype: f32 (default, reference semantics) | bf16 (mixed: convs/GEMMs in
   bf16, fake-quant boundaries + SGD math in f32 — Trainer compute_dtype);
   append -remat (e.g. bf16-remat) to rematerialize the forward in backward
@@ -32,6 +32,7 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 MODEL = sys.argv[2] if len(sys.argv) > 2 else "resnet_quantized_float_bn"
 DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 18
 DTYPE = sys.argv[4] if len(sys.argv) > 4 else "f32"
+DATASET = sys.argv[5] if len(sys.argv) > 5 else "imagenet"
 REMAT = DTYPE.endswith("-remat")
 if REMAT:
     DTYPE = DTYPE[: -len("-remat")]
@@ -41,7 +42,7 @@ def main():
     from quantized_tpu.engine.executor import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = {"dataset": "imagenet", "depth": DEPTH} if "resnet" in MODEL else {}
+    cfg = {"dataset": DATASET, "depth": DEPTH} if "resnet" in MODEL else {}
     model = get_model(MODEL)(rngs=nnx.Rngs(0), **cfg)
     model.train()
     if DTYPE == "bf16":
@@ -51,7 +52,8 @@ def main():
 
     size = getattr(model, "input_size", 224)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, size, size, 3)), jnp.float32)
-    y = jnp.asarray(np.random.default_rng(1).integers(0, 1000, (B,)), jnp.int32)
+    n_cls = 10 if DATASET.startswith("cifar") or DATASET == "mnist" else 1000
+    y = jnp.asarray(np.random.default_rng(1).integers(0, n_cls, (B,)), jnp.int32)
 
     gd, params, rest = nnx.split(model, nnx.Param, ...)
 

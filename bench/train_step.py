@@ -51,7 +51,8 @@ def main():
         set_compute_dtype(model, jnp.bfloat16)
 
     size = getattr(model, "input_size", 224)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, size, size, 3)), jnp.float32)
+    chans = 1 if DATASET == "mnist" else 3
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, size, size, chans)), jnp.float32)
     n_cls = 10 if DATASET.startswith("cifar") or DATASET == "mnist" else 1000
     y = jnp.asarray(np.random.default_rng(1).integers(0, n_cls, (B,)), jnp.int32)
 

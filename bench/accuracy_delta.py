@@ -23,6 +23,11 @@ val ceiling at ~94% — so the default 8-epoch run converges into a stable
 agreement 98-100% — RESULTS.md).
 
 Usage: python bench/accuracy_delta.py [epochs] [batch]  (CPU-friendly)
+  --bf16        add a bf16-compute-trained arm (round 4)
+  --grad-quant  add the reference's flagship-experiment arms (round 5):
+                resnet_quantized (RangeBN + num_bits_grad=8 + biprecision)
+                trained end-to-end, a no-grad-quant RangeBN control, and the
+                flagship weights through the true-int engine
 """
 
 from __future__ import annotations
@@ -40,6 +45,14 @@ if "--cpu" in sys.argv:  # run off-TPU (e.g. while the chip is busy)
 BF16_ARM = "--bf16" in sys.argv  # add a bf16-compute-trained arm (round 4)
 if BF16_ARM:
     sys.argv.remove("--bf16")
+# round 5: the reference's FLAGSHIP experiment (arXiv:1805.11046) — 8-bit
+# training with quantized gradients: resnet_quantized (RangeBN flavor) with
+# its module defaults num_bits_grad=8 + biprecision=True, trained end-to-end
+# under the same regime/data order, plus a no-grad-quant RangeBN control arm
+# that isolates the gradient-quantization effect from the RangeBN effect.
+GRAD_QUANT_ARM = "--grad-quant" in sys.argv
+if GRAD_QUANT_ARM:
+    sys.argv.remove("--grad-quant")
 
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +138,44 @@ def main():
     results["int8-strict"], preds["int8-strict"] = top1(
         convert_to_int(fresh(), weight_bits=8, weight_quant="per_tensor"),
         val.batches(BATCH))
+
+    if GRAD_QUANT_ARM:
+        from quantized_tpu.models import layers as L
+
+        def train_arm(name, disable_grad_quant):
+            m = get_model("resnet_quantized")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+            if disable_grad_quant:
+                for _, node in nnx.iter_graph(m):
+                    if isinstance(node, (L.QConv2d, L.QLinear, L.RangeBN)):
+                        node.num_bits_grad = None
+                        if hasattr(node, "biprecision"):
+                            node.biprecision = False
+            t = Trainer(m, regime=regime)
+            for e in range(EPOCHS):
+                tm = t.train_epoch(
+                    train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
+                tv = t.validate(val.batches(BATCH), e)
+                print(f"[{name}] epoch {e}: train top1 {tm['top1']:.2f}  "
+                      f"val top1 {tv['top1']:.2f}", flush=True)
+            m.eval()
+            return m
+
+        # FULL flagship: RangeBN + num_bits_grad=8 + biprecision (module defaults)
+        m_flag = train_arm("rangebn+gradq8+biprec", disable_grad_quant=False)
+        results["fake-quant[gradq8-trained]"], preds["fake-quant[gradq8-trained]"] = top1(
+            m_flag, val.batches(BATCH))
+        # control: same RangeBN architecture, gradient quantization OFF
+        m_ctrl = train_arm("rangebn-control", disable_grad_quant=True)
+        results["fake-quant[rangebn-ctrl]"], preds["fake-quant[rangebn-ctrl]"] = top1(
+            m_ctrl, val.batches(BATCH))
+        # and the flagship model through the true-integer engine (serving form)
+        m_flag_int = get_model("resnet_quantized")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+        gd_i, _ = nnx.split(m_flag_int)
+        _, st_f = nnx.split(m_flag)
+        m_flag_int = nnx.merge(gd_i, st_f)
+        m_flag_int.eval()
+        results["int8-exact[gradq8]"], preds["int8-exact[gradq8]"] = top1(
+            convert_to_int(m_flag_int, weight_bits=8), val.batches(BATCH))
 
     if BF16_ARM:
         # bf16 compute-dtype arm (round 4, training.qat.set_compute_dtype):

@@ -180,8 +180,23 @@ class ContinuousBatcher:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
-        if self._pad_pool is not None:
+        # Only retire the pad pool once the scheduler has actually exited: if
+        # the join timed out (wedged executor) the assembler may still be
+        # mid-_assemble, and shutting the pool under it would raise
+        # "cannot schedule new futures after shutdown" and strand that batch.
+        # (_assemble also falls back to the serial copy loop on that error.)
+        if self._pad_pool is not None and (self._thread is None or not self._thread.is_alive()):
             self._pad_pool.shutdown(wait=False)
+        # Close the stop/submit race: a submit() that passed the _stop check
+        # just before stop() can enqueue after the scheduler's final
+        # _queue.empty() evaluation — fail any stragglers so no client blocks
+        # forever on an unresolved future (mirrors MultiHostBatcher._fail_all).
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._complete(r.future, exc=RuntimeError("batcher stopped"))
         if self.request_log is not None:
             self.request_log.close()
 
@@ -289,7 +304,13 @@ class ContinuousBatcher:
                 for i in range(lo, hi):
                     batch[i] = reqs[i].image
 
-            list(self._pad_pool.map(copy_rows, range(0, n, chunk)))
+            try:
+                list(self._pad_pool.map(copy_rows, range(0, n, chunk)))
+            except RuntimeError:
+                # pool shut down under us (stop() after a timed-out join):
+                # finish this batch serially rather than stranding its futures
+                for i, r in enumerate(reqs):
+                    batch[i] = r.image
         else:
             for i, r in enumerate(reqs):
                 batch[i] = r.image

@@ -86,7 +86,12 @@ def serve(
                         try:
                             f.result(timeout=120)
                         except TimeoutError:
-                            pass  # SLA-expired under --serve-timeout: counted in stats
+                            # Only an SLA-expired request (future resolved with
+                            # the batcher's stored TimeoutError) is expected
+                            # here; a future still PENDING after 120s means the
+                            # scheduler is wedged — surface that, don't skip it.
+                            if not f.done():
+                                raise
                     pending.clear()
                 if time.time() - last_log > 1.0:
                     logger.info("serve stats: %s", batcher.stats())
@@ -95,7 +100,8 @@ def serve(
                 try:
                     f.result(timeout=120)
                 except TimeoutError:
-                    pass
+                    if not f.done():
+                        raise  # pending after 120s = wedged scheduler, not SLA
             logger.info("final serve stats: %s", batcher.stats())
         else:
             while max_steps == 0 or batcher.steps < max_steps:

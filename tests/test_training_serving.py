@@ -128,6 +128,74 @@ def test_trainer_on_mesh_composes_with_bf16_compute():
     )
 
 
+def test_batcher_stop_fails_straggler_futures():
+    """A submit() that wins the race past the _stop check can enqueue after
+    the scheduler's final queue drain; stop() must fail those futures with
+    RuntimeError instead of leaving the client blocked forever (ADVICE r4).
+    Deterministic form: enqueue with no scheduler thread running at all."""
+    from quantized_tpu.engine.batching import ContinuousBatcher
+
+    b = ContinuousBatcher(lambda batch: batch.reshape(batch.shape[0], -1), (2, 2, 3),
+                          batch_sizes=(4,))
+    fut = b.submit(np.zeros((2, 2, 3), np.float32))  # no start(): stays queued
+    b.stop()
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=5)
+
+
+def test_grad_quant_biprec_trainer_step_flagship():
+    """The reference's FLAGSHIP experiment configuration (arXiv:1805.11046):
+    ``resnet_quantized`` — RangeBN flavor with its module defaults
+    NUM_BITS_GRAD=8 + BIPRECISION=True (reference resnet_quantized.py
+    ~L10-15) — through one real Trainer step. Asserts the full composition
+    works end-to-end, not just per-module: (a) params update and stay
+    finite, (b) observer EMAs move, (c) RangeBN running stats move,
+    (d) every grad-quant RngStream count advances (proof the
+    stochastic-rounding backward actually consumed randomness), and
+    (e) the loss goes down over a few steps."""
+    from quantized_tpu.models import layers as L
+
+    train = get_dataset("synthetic", "train", get_transform("cifar10", augment=False))
+    model = get_model("resnet_quantized")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+    # the factory must have wired the flagship constants everywhere
+    qconvs = [m for _, m in nnx.iter_graph(model) if isinstance(m, L.QConv2d)]
+    rbns = [m for _, m in nnx.iter_graph(model) if isinstance(m, L.RangeBN)]
+    assert qconvs and rbns
+    assert all(c.num_bits_grad == 8 and c.biprecision for c in qconvs)
+    assert all(b.num_bits_grad == 8 for b in rbns)
+
+    p_before = jax.tree.map(jnp.copy, nnx.state(model, nnx.Param))
+    kernels_before = [jnp.copy(c.kernel.value) for c in qconvs]
+    c0 = qconvs[0]
+    ema_before = float(c0.quantize_input.running_max.value[0])
+    bn_mean_before = np.asarray(rbns[0].running_mean.value).copy()
+    rng_counts_before = [int(c.grad_quant_rng.count.value) for c in qconvs]
+
+    tr = Trainer(model, regime={0: {"optimizer": "SGD", "lr": 0.01, "momentum": 0.9}},
+                 print_freq=10**6)
+    batches = list(train.batches(64, drop_remainder=True))[:6]
+    m0 = tr.train_epoch(batches, 0)
+
+    p_after = nnx.state(model, nnx.Param)
+    deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), p_after, p_before)
+    assert all(np.isfinite(d) for d in jax.tree.leaves(deltas))
+    assert max(jax.tree.leaves(deltas)) > 0  # something moved
+    # every conv kernel moved (biprec's out1 path carries full-precision w-grads)
+    kernel_deltas = [
+        float(jnp.max(jnp.abs(c.kernel.value - kb)))
+        for c, kb in zip(qconvs, kernels_before)
+    ]
+    assert all(np.isfinite(k) and k > 0 for k in kernel_deltas), kernel_deltas
+    assert float(c0.quantize_input.running_max.value[0]) != ema_before
+    assert not np.allclose(np.asarray(rbns[0].running_mean.value), bn_mean_before)
+    rng_counts_after = [int(c.grad_quant_rng.count.value) for c in qconvs]
+    assert all(a > b for a, b in zip(rng_counts_after, rng_counts_before)), (
+        rng_counts_before, rng_counts_after)
+    assert np.isfinite(m0["loss"])
+    m1 = tr.train_epoch(batches, 1)
+    assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
+
+
 # ---------------------------------------------------------------- serving
 
 

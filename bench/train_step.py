@@ -7,10 +7,14 @@ iteration consumes the previous SGD update, so the whole fwd+bwd+update is
 live (nothing DCE-able) and the tunnel round-trip amortizes over the loop
 (see utils/timing.py for why naive timing lies through the axon tunnel).
 
-Usage: python bench/train_step.py [B] [model] [depth] [dtype] [dataset]
+Usage: python bench/train_step.py [B] [model] [depth] [dtype] [dataset] [variant]
   dtype: f32 (default, reference semantics) | bf16 (mixed: convs/GEMMs in
   bf16, fake-quant boundaries + SGD math in f32 — Trainer compute_dtype);
   append -remat (e.g. bf16-remat) to rematerialize the forward in backward
+  variant (for resnet_quantized, the flagship grad-quant config): full
+  (default: num_bits_grad=8 + biprecision, the module defaults) | nobiprec
+  (grad quantization kept, biprec recombination off — isolates the
+  double-conv cost) | nogradq (both off — the pure-RangeBN floor)
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ MODEL = sys.argv[2] if len(sys.argv) > 2 else "resnet_quantized_float_bn"
 DEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 18
 DTYPE = sys.argv[4] if len(sys.argv) > 4 else "f32"
 DATASET = sys.argv[5] if len(sys.argv) > 5 else "imagenet"
+VARIANT = sys.argv[6] if len(sys.argv) > 6 else "full"
 REMAT = DTYPE.endswith("-remat")
 if REMAT:
     DTYPE = DTYPE[: -len("-remat")]
@@ -44,6 +49,15 @@ def main():
     enable_compilation_cache()
     cfg = {"dataset": DATASET, "depth": DEPTH} if "resnet" in MODEL else {}
     model = get_model(MODEL)(rngs=nnx.Rngs(0), **cfg)
+    if VARIANT != "full":
+        from quantized_tpu.models import layers as L
+
+        for _, node in nnx.iter_graph(model):
+            if isinstance(node, (L.QConv2d, L.QLinear, L.RangeBN)):
+                if hasattr(node, "biprecision"):
+                    node.biprecision = False
+                if VARIANT == "nogradq":
+                    node.num_bits_grad = None
     model.train()
     if DTYPE == "bf16":
         from quantized_tpu.training.qat import set_compute_dtype
@@ -122,7 +136,10 @@ def main():
         ts.append(time.perf_counter() - t0)
     ts.sort()
     dt = max(ts[len(ts) // 2] - TUNNEL_OVERHEAD_S, 1e-9 * loops) / loops
-    print(f"device={jax.devices()[0].device_kind} model={MODEL}-{DEPTH} batch={B} dtype={DTYPE}")
+    print(
+        f"device={jax.devices()[0].device_kind} model={MODEL}-{DEPTH} batch={B} "
+        f"dtype={DTYPE}{' variant=' + VARIANT if VARIANT != 'full' else ''}"
+    )
     print(f"QAT train step: {dt*1e3:.2f} ms -> {B/dt:.0f} img/s")
 
 

@@ -16,14 +16,26 @@ the max, and all run that bucket (hosts with fewer pending pad — padded rows
 never mix into real rows, each image's logits depend only on that image).
 Shutdown uses the same channel: the loop exits only when every host reports
 stopped-and-drained, so no host leaves a collective hanging.
+
+Host-death bound (SURVEY.md section 5 failure-detection row): every
+cross-host wait — the count allgather AND the SPMD step itself — runs under
+a ``peer_timeout_s`` watchdog (default 60 s). If a peer process dies
+(SIGKILL, OOM, machine loss), the survivor's next collective blocks; the
+watchdog converts that into a failure of this step's and all queued futures
+within ``peer_timeout_s``, stops the batcher (further submits raise), and
+lets the process exit cleanly instead of hanging on DCN. The stuck
+collective is abandoned on a daemon thread (JAX's own coordination-service
+heartbeat eventually aborts it; we do not wait for that — its default
+detection window is ~100 s).
 """
 
 from __future__ import annotations
 
 import logging
 import queue
+import threading
 import time
-from typing import Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -96,8 +108,42 @@ class MultiHostBatcher(ContinuousBatcher):
     ``batch_sizes`` are *per-host* bucket sizes (global batch = bucket x
     process_count). The scheduler loop is the parent's, with two coordinated
     points: bucket agreement before each step and drained agreement before
-    shutdown (see module docstring).
+    shutdown (see module docstring). ``peer_timeout_s`` bounds every
+    cross-host wait (see module docstring host-death bound).
     """
+
+    def __init__(self, *args, peer_timeout_s: float = 60.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.peer_timeout_s = peer_timeout_s
+
+    def _bounded(self, what: str, fn: Callable):
+        """Run ``fn`` (a cross-host wait) under the peer-death watchdog: raises
+        TimeoutError after ``peer_timeout_s`` instead of blocking forever on a
+        dead peer. The abandoned call keeps blocking on a daemon thread until
+        JAX's coordination service aborts it — harmless, and the process can
+        still exit (daemon)."""
+        if jax.process_count() == 1 or self.peer_timeout_s is None:
+            return fn()
+        box = {}
+        done = threading.Event()
+
+        def run():
+            try:
+                box["out"] = fn()
+            except Exception as e:  # surfaced below on the scheduler thread
+                box["err"] = e
+            finally:
+                done.set()
+
+        threading.Thread(target=run, daemon=True, name=f"qtpu-{what}").start()
+        if not done.wait(self.peer_timeout_s):
+            raise TimeoutError(
+                f"multihost {what} exceeded peer_timeout_s={self.peer_timeout_s}s "
+                "— assuming peer host death"
+            )
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
 
     def warmup(self):
         # every process precompiles every bucket together (collective compiles)
@@ -131,8 +177,11 @@ class MultiHostBatcher(ContinuousBatcher):
     ) -> Tuple[int, bool, bool]:
         from jax.experimental import multihost_utils
 
-        flags = multihost_utils.process_allgather(
-            np.asarray([n_local, int(done_local), int(err_local)], np.int32)
+        flags = self._bounded(
+            "count-allgather",
+            lambda: multihost_utils.process_allgather(
+                np.asarray([n_local, int(done_local), int(err_local)], np.int32)
+            ),
         ).reshape(jax.process_count(), 3)
         return (
             int(flags[:, 0].max()),
@@ -160,9 +209,17 @@ class MultiHostBatcher(ContinuousBatcher):
         while True:
             reqs = self._drain(self.batch_sizes[-1])
             done_local = self._stop.is_set() and self._queue.empty() and not reqs
-            n_global, done_all, err_any = self._coordinate(
-                len(reqs), done_local, err_local=err is not None
-            )
+            try:
+                n_global, done_all, err_any = self._coordinate(
+                    len(reqs), done_local, err_local=err is not None
+                )
+            except Exception as e:
+                # Peer death (watchdog TimeoutError) or a coordination-service
+                # abort: no further collective can succeed — fail this step's
+                # and every queued future within the bound and stop.
+                logger.error("multihost coordination failed: %r — stopping", e)
+                self._fail_all(reqs, RuntimeError(f"peer coordination failed: {e!r}"))
+                break
             if err_any:
                 # Some host's executor raised mid-step. Continuing the
                 # per-host loop would desynchronize the allgather counts and
@@ -180,7 +237,17 @@ class MultiHostBatcher(ContinuousBatcher):
             bucket = self._pick_bucket(n_global)
             batch = self._assemble(reqs, bucket)
             try:
-                logits = np.asarray(self.executor(batch))
+                # the SPMD step blocks on DCN collectives too — same bound
+                logits = self._bounded(
+                    "spmd-step", lambda: np.asarray(self.executor(batch))
+                )
+            except TimeoutError as e:
+                # watchdog fired mid-step: a peer died between the count
+                # agreement and the forward — same terminal path as a
+                # coordination failure (no collective can complete anymore)
+                logger.error("multihost SPMD step timed out: %r — stopping", e)
+                self._fail_all(reqs, RuntimeError(f"peer died mid-step: {e!r}"))
+                break
             except Exception as e:  # pragma: no cover
                 # Hold the error and surface it through the *next* coordinate
                 # round so every host exits the loop together.
@@ -203,17 +270,20 @@ def serve_multihost(
     batch_sizes: Sequence[int] = (1, 8, 32),
     input_shape=None,
     ingest: str = "f32",
+    peer_timeout_s: float = 60.0,
 ) -> MultiHostBatcher:
     """Bring up this host's shard of the global serving engine: returns a
     started ``MultiHostBatcher`` whose submit() admits this host's requests.
     Call on every process of an initialized ``jax.distributed`` runtime with
-    the same mesh/buckets."""
+    the same mesh/buckets. ``peer_timeout_s`` bounds how long a dead peer can
+    stall this host before pending futures fail (module docstring)."""
     if input_shape is None:
         size = getattr(model, "input_size", 224)
         input_shape = (size, size, 3)
     ex = HostShardedExecutor(model, mesh, ingest=ingest)
     dtype = np.uint8 if ingest == "u8" else np.float32
-    batcher = MultiHostBatcher(ex, input_shape, batch_sizes, dtype=dtype)
+    batcher = MultiHostBatcher(ex, input_shape, batch_sizes, dtype=dtype,
+                               peer_timeout_s=peer_timeout_s)
     batcher.warmup()
     logger.info(
         "multihost server up: process %d/%d buckets=%s input=%s",

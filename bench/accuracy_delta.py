@@ -96,12 +96,28 @@ def main():
         max(1, EPOCHS // 2): {"lr": 0.01},
         max(2, (3 * EPOCHS) // 4): {"lr": 0.002},
     }
-    trainer = Trainer(model, regime=regime)
-    for e in range(EPOCHS):
-        m = trainer.train_epoch(train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
-        v = trainer.validate(val.batches(BATCH), e)
-        print(f"epoch {e}: train top1 {m['top1']:.2f}  val top1 {v['top1']:.2f}", flush=True)
-    model.eval()
+
+    def fit(m, t, name=""):
+        """Train EPOCHS epochs and restore the best-val-epoch state —
+        the reference main.py's ``best_prec1`` / ``model_best`` checkpoint
+        semantics (~L150-200): reported accuracy is the best epoch's, not
+        whatever the final epoch landed on (RangeBN arms oscillate +-7 pt
+        between late epochs on this synthetic set; measured 2026-08-21)."""
+        tag = f"[{name}] " if name else ""
+        best_top1, best_state = -1.0, None
+        for e in range(EPOCHS):
+            tm = t.train_epoch(train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
+            tv = t.validate(val.batches(BATCH), e)
+            print(f"{tag}epoch {e}: train top1 {tm['top1']:.2f}  val top1 {tv['top1']:.2f}",
+                  flush=True)
+            if tv["top1"] > best_top1:
+                best_top1 = tv["top1"]
+                best_state = jax.tree.map(jnp.copy, nnx.state(m))
+        nnx.update(m, best_state)
+        m.eval()
+        return m
+
+    fit(model, Trainer(model, regime=regime))
 
     results = {}
     preds = {}
@@ -150,15 +166,7 @@ def main():
                         node.num_bits_grad = None
                         if hasattr(node, "biprecision"):
                             node.biprecision = False
-            t = Trainer(m, regime=regime)
-            for e in range(EPOCHS):
-                tm = t.train_epoch(
-                    train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
-                tv = t.validate(val.batches(BATCH), e)
-                print(f"[{name}] epoch {e}: train top1 {tm['top1']:.2f}  "
-                      f"val top1 {tv['top1']:.2f}", flush=True)
-            m.eval()
-            return m
+            return fit(m, Trainer(m, regime=regime), name)
 
         # FULL flagship: RangeBN + num_bits_grad=8 + biprecision (module defaults)
         m_flag = train_arm("rangebn+gradq8+biprec", disable_grad_quant=False)
@@ -183,10 +191,7 @@ def main():
         # The claim under test: mixed-precision QAT converges to the same
         # top-1 band as the reference-semantics f32 path.
         model_b = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
-        trainer_b = Trainer(model_b, regime=regime, compute_dtype="bf16")
-        for e in range(EPOCHS):
-            trainer_b.train_epoch(train.batches(BATCH, shuffle=True, seed=e, drop_remainder=True), e)
-        model_b.eval()
+        fit(model_b, Trainer(model_b, regime=regime, compute_dtype="bf16"), "bf16")
         from quantized_tpu.training.qat import set_compute_dtype
 
         set_compute_dtype(model_b, None)  # evaluate in reference-semantics f32

@@ -208,3 +208,44 @@ def test_explicit_tp_async_collective_overlap_aot(rng):
                      and "async-collective" not in l)
         overlapped = max(overlapped, n_comp)
     assert overlapped >= 1, (starts, dones)
+
+
+@pytest.mark.slow
+def test_train_step_async_collective_overlap_aot():
+    """Training-side overlap evidence (VERDICT r4 next-step #8): AOT-compile
+    the sharded DP+TP train step of the FLAGSHIP grad-quant config
+    (resnet_quantized: RangeBN + num_bits_grad=8 + biprecision) for the
+    v5e:2x4 topology and assert the TPU scheduler lowered at least one
+    collective async (start/done pair) with backward compute scheduled
+    inside the window — gradient reductions ride the wire while earlier
+    layers' gradients are still being computed."""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+    except Exception as e:
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+
+    import importlib.util
+    import os
+
+    from jax.sharding import Mesh
+
+    from quantized_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    # bench.py at the repo root shadows the bench/ directory — load by path
+    probe_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                              "bench", "train_overlap_probe.py")
+    spec = importlib.util.spec_from_file_location("train_overlap_probe", probe_path)
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    analyze, lower_train_step = probe.analyze, probe.lower_train_step
+
+    mesh = Mesh(np.array(topo.devices).reshape(2, 4), (DATA_AXIS, MODEL_AXIS))
+    res = analyze(lower_train_step(mesh))
+    assert res["async"]["async-collective-start"] >= 1, res["async"]
+    overlapped = [w for w in res["windows"] if w[1] > 0]
+    assert overlapped, res["windows"]
+    # the big gradient-reduction window should hide substantial backward
+    # compute (measured 172 fusions in-window on this config, 2026-08-21)
+    assert max(w[1] for w in overlapped) >= 10, res["windows"]

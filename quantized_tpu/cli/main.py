@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="training matmul/conv operand dtype: bf16 runs every conv/GEMM on the MXU's "
                         "native operand type (fake-quant boundaries, observers, BN stats and SGD stay "
                         "f32) — +21%% QAT step throughput on ResNet-50 (bench/train_step.py)")
+    p.add_argument("--prng", default="threefry", choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="PRNG implementation for stochastic gradient rounding: rbg uses the TPU's "
+                        "hardware rng-bit-generator — +13%% flagship grad-quant train step vs the "
+                        "threefry default (bench/train_step.py, 667->757 img/s); threefry keeps the "
+                        "default partitionable/reproducible stream semantics")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--profile", default="", metavar="DIR", help="write an XProf/TensorBoard trace of the eval to DIR")
     p.add_argument("--debug-nans", action="store_true", help="jax_debug_nans: re-run any op producing NaN un-jitted and raise with its location (SURVEY.md section 5 sanitizer mode)")
@@ -114,6 +119,11 @@ def main(argv=None):
         # order, which multi-worker loading would make race-dependent.
         jax.config.update("jax_threefry_partitionable", True)
         args.workers = 0
+        args.prng = "threefry"  # rbg streams are not partition-invariant
+    if args.prng != "threefry":
+        # must precede model construction: the RngStream keys' impl is fixed
+        # at key creation (nnx.Rngs below)
+        jax.config.update("jax_default_prng_impl", args.prng)
     import numpy as np
     from flax import nnx
 

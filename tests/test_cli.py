@@ -172,3 +172,32 @@ def test_cli_tp_explicit_resident_eval(tmp_path, capsys):
     )
     assert rc == 0
     assert "top1" in capsys.readouterr().out
+
+
+def test_cli_prng_rbg_trains_flagship(tmp_path):
+    """--prng rbg (round 5): the stochastic-rounding grad-quant path keys off
+    the TPU hardware rng-bit-generator instead of threefry (+13% flagship
+    train step on-chip). One epoch of the flagship config must train and
+    checkpoint; the config is restored so other tests keep threefry."""
+    import jax
+
+    prev = str(jax.config.jax_default_prng_impl)
+    try:
+        rc = main([
+            "--type", "cpu.float",
+            "--model", "resnet_quantized",
+            "--dataset", "synthetic",
+            "--model_config", "{'depth': 20}",
+            "-b", "128",
+            "--results_dir", str(tmp_path),
+            "--lr", "0.01",
+            "--save", "rbgrun",
+            "--epochs", "1",
+            "--prng", "rbg",
+        ])
+        assert rc == 0
+        assert str(jax.config.jax_default_prng_impl) == "rbg"
+        run = os.path.join(tmp_path, "rbgrun")
+        assert os.path.exists(os.path.join(run, "results.csv"))
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)

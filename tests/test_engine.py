@@ -296,3 +296,59 @@ def test_multihost_batcher_u8_ingest(rng):
                                        atol=1e-4, rtol=1e-5)
     finally:
         batcher.stop()
+
+
+def test_warm_start_skips_recompiles(tmp_path):
+    """Cold-start regression (VERDICT r4 next-step #6): with the persistent
+    compilation cache enabled, a server restart (fresh in-memory jit caches)
+    must LOAD the engine executable from disk, not recompile it. Asserted via
+    jax's own cache counters: second bring-up records cache_hits and zero
+    cache_misses, and writes no new cache files."""
+    import os as _os
+
+    import jax
+
+    from quantized_tpu.engine import build_int8_resident
+    from quantized_tpu.models import get_model
+    from quantized_tpu.models.layers import QuantMeasure
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    events = []
+    active = [True]
+    jax.monitoring.register_event_listener(
+        lambda name, *a, **kw: events.append(name) if active[0] else None)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        def bring_up():
+            m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20,
+                                                       rngs=nnx.Rngs(0))
+            for _, mod in nnx.iter_modules(m):
+                if isinstance(mod, QuantMeasure):
+                    mod.running_min.set_value(jnp.full((1,), -4.0, jnp.float32))
+                    mod.running_max.set_value(jnp.full((1,), 4.0, jnp.float32))
+            m.eval()
+            eng = build_int8_resident(m)
+            graphdef, state = nnx.split(eng)
+            fwd = jax.jit(lambda s, x: nnx.merge(graphdef, s)(x))
+            return np.asarray(fwd(state, jnp.zeros((4, 32, 32, 3), jnp.float32)))
+
+        out1 = bring_up()
+        files1 = sum(len(fs) for _, _, fs in _os.walk(tmp_path))
+        assert files1 > 0, "first bring-up wrote nothing to the persistent cache"
+        events.clear()
+
+        jax.clear_caches()  # simulate the restart: in-memory caches gone
+        out2 = bring_up()
+        files2 = sum(len(fs) for _, _, fs in _os.walk(tmp_path))
+        np.testing.assert_array_equal(out1, out2)
+        hits = sum(1 for e in events if e.endswith("cache_hits"))
+        misses = sum(1 for e in events if e.endswith("cache_misses"))
+        assert hits >= 1, events
+        assert misses == 0, f"warm start recompiled: {misses} misses"
+        assert files2 == files1, "warm start wrote new executables"
+    finally:
+        active[0] = False
+        jax.config.update("jax_compilation_cache_dir", prev_dir)

@@ -134,6 +134,46 @@ def _weight_scales(w: np.ndarray, cout_axis_last: bool, num_bits: int) -> np.nda
     return np.maximum(absmax / qmax, 1e-12).astype(np.float32)
 
 
+def _rangebn_y_clip(conv, bn, b_f: np.ndarray) -> Optional[np.ndarray]:
+    """Per-channel clamp bounds (2, Cout) that reproduce the RangeBN *input
+    observer's* range clip in the folded engine (round-5 fix).
+
+    RangeBN quantizes its input on the observer's running range BEFORE
+    normalizing (models/layers.py RangeBN.__call__). Folding BN into the
+    conv drops that step; at a trained checkpoint the CLIP part is a
+    load-bearing saturating nonlinearity — dropping it cost 17.2 top-1 pt
+    on the flagship QAT ResNet-20 (91.02 -> 73.44 measured 2026-08-21; a
+    clip-only ablation recovered 90.62 = full fake-quant accuracy, and the
+    8-bit *rounding* part measured 0.0 pt). The clip commutes through the
+    monotone per-channel BN affine into constant output-domain bounds:
+
+        y = f_c * clip(z, mn, mx) + c_c
+          = clip(f_c * z + c_c, min(f_c*mn, f_c*mx) + c_c, max(...) + c_c)
+
+    so the engine applies it as a per-channel clamp fused into the existing
+    epilogue/requant pass — zero extra HBM traffic. ``b_f`` is the folded
+    bias (= qbeta + (b0 - mean)*factor), from which c_c = b_f - factor*b0.
+    Returns None when the observer holds no real range (uncalibrated)."""
+    from quantized_tpu.ingest.bn_fold import rangebn_fold_params
+    from quantized_tpu.models.layers import QuantMeasure
+
+    obs = getattr(bn, "quantize_input", None)
+    if not isinstance(obs, QuantMeasure):
+        return None
+    mn = float(np.asarray(obs.running_min.get_value())[0])
+    mx = float(np.asarray(obs.running_max.get_value())[0])
+    if not mx > mn:
+        return None  # uncalibrated observer: fake-quant collapses too
+    gamma = None if bn.weight is None else np.asarray(bn.weight.get_value())
+    scale = np.asarray(bn.running_var.get_value())
+    factor, _ = rangebn_fold_params(gamma, None, scale, eps=bn.eps)
+    b0 = 0.0 if conv.bias is None else np.asarray(conv.bias.get_value(), np.float32)
+    c = np.asarray(b_f, np.float32) - factor * b0
+    lo = np.minimum(factor * mn, factor * mx) + c
+    hi = np.maximum(factor * mn, factor * mx) + c
+    return np.stack([lo, hi]).astype(np.float32)
+
+
 def _convert_conv(
     conv: QConv2d, bn, weight_bits: int, backend: str, int4_pack: bool = False,
     act_grid: Optional[Tuple[float, int]] = None,
@@ -165,6 +205,7 @@ def _convert_conv(
 
         int4_shape = w_q.shape
         w_store = pack_int4_conv_channels(w_store)
+    y_clip = _rangebn_y_clip(conv, bn, b_f) if isinstance(bn, RangeBN) else None
     return IntConv2d(
         w_store,
         alpha,
@@ -177,6 +218,7 @@ def _convert_conv(
         relu=False,
         backend=backend,
         int4_shape=int4_shape,
+        y_clip=None if y_clip is None else jnp.asarray(y_clip),
     )
 
 

@@ -193,6 +193,7 @@ class Int8SpaceToDepthStem(nnx.Module):
         self.w_q = nnx.Param(w)
         self.alpha = stem.alpha
         self.beta = stem.beta
+        self.y_clip = stem.y_clip  # RangeBN observer clamp rides along
         self.act_scale = stem.act_scale
         self.act_zero_point = stem.act_zero_point
         self.cin = cin
@@ -243,6 +244,10 @@ class Int8SpaceToDepthStem(nnx.Module):
         if self.backend.startswith("raw-"):
             return self.raw.run_q(x_q, relu=relu, out_requant=out_requant)
         xs = self._s2d(x_q)
+        yc = None
+        if self.y_clip is not None:
+            v = self.y_clip.get_value()
+            yc = (v[0], v[1])
         if self.backend == "bf16":
             # stored zero-point dequantizes to exactly 0.0, so the padded
             # taps still contribute 0 in the bf16 domain
@@ -255,6 +260,8 @@ class Int8SpaceToDepthStem(nnx.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
             ) + self.bias_f.get_value()
+            if yc is not None:
+                y = jnp.clip(y, yc[0], yc[1])
             if relu:
                 y = jnp.maximum(y, 0.0)
             return quantize_input_stored(y, *out_requant)
@@ -263,13 +270,13 @@ class Int8SpaceToDepthStem(nnx.Module):
             y = int8_conv_xla(
                 xs, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(),
                 stride=(1, 1), padding=(0, 0), stored_zp=self.act_zero_point - 128,
-                relu=relu,
+                relu=relu, y_clip=yc,
             )
             return quantize_input_stored(y, *out_requant)
         return int8_conv_xla(
             xs, self.w_q.get_value(), self.alpha.get_value(), self.beta.get_value(),
             stride=(1, 1), padding=(0, 0), stored_zp=self.act_zero_point - 128,
-            relu=relu, out_requant=out_requant,
+            relu=relu, out_requant=out_requant, y_clip=yc,
         )
 
 

@@ -106,10 +106,16 @@ class IntConv2d(nnx.Module):
         relu: bool = False,
         backend: str = "xla",
         int4_shape: Optional[Tuple[int, int, int, int]] = None,
+        y_clip: Optional[jax.Array] = None,
     ):
         self.w_q = nnx.Param(w_q)
         self.alpha = nnx.Param(alpha)
         self.beta = nnx.Param(beta)
+        # (2, Cout) pre-relu clamp bounds on the epilogue output — the folded
+        # form of a RangeBN input observer's range clip (convert._rangebn_y_clip;
+        # dropping it cost 17 top-1 pt on the trained flagship). Fuses into
+        # the requant clip: no extra passes.
+        self.y_clip = None if y_clip is None else nnx.Param(y_clip)
         self.act_scale = float(act_scale)
         self.act_zero_point = int(act_zero_point)
         self.stride = stride
@@ -157,10 +163,14 @@ class IntConv2d(nnx.Module):
     def _run_bf16(
         self, x_q: jax.Array, relu: bool, out_requant: Optional[Tuple[float, int]],
         out_prescale: Optional[float] = None, round_s16: bool = False,
+        y_clip: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         """bf16 path on the same stored-int8 grids. The dequantized value of
         the stored zero-point is exactly 0.0, so plain zero-padded lax conv
-        is correct (no explicit pad pass)."""
+        is correct (no explicit pad pass). ``y_clip``: per-channel pre-relu
+        clamp bounds in the natural epilogue domain (v = y + bias_f) — the
+        RangeBN observer fold; each branch maps them through its own
+        monotone transform so the clamp fuses into the existing pass."""
         xb = (
             (x_q.astype(jnp.float32) + jnp.float32(128 - self.act_zero_point))
             * jnp.float32(self.act_scale)
@@ -182,18 +192,32 @@ class IntConv2d(nnx.Module):
             inv = jnp.float32(1.0 / out_scale)
             beta2 = self.bias_f.get_value() * inv + jnp.float32(out_zp - 128)
             lo = jnp.float32(out_zp - 128 if relu else -128)
+            hi = jnp.float32(127.0)
+            if y_clip is not None:
+                zps = jnp.float32(out_zp - 128)
+                lo = jnp.maximum(lo, jnp.round(y_clip[0] * inv + zps))
+                hi = jnp.minimum(hi, jnp.round(y_clip[1] * inv + zps))
             q = jnp.round(y * inv + beta2)
-            return jnp.clip(q, lo, 127.0).astype(jnp.int8)
+            return jnp.clip(q, lo, hi).astype(jnp.int8)
         if out_prescale is not None:
             scale, shift = out_prescale
             inv = jnp.float32(1.0 / scale)
             if round_s16:
                 inv = inv * jnp.float32(S16_FINE)
-                q = jnp.round(y * inv + (self.bias_f.get_value() * inv
-                                         + jnp.float32(shift * S16_FINE)))
-                return clip_s16_checked(q)
-            return y * inv + (self.bias_f.get_value() * inv + jnp.float32(shift))
+                val = y * inv + (self.bias_f.get_value() * inv
+                                 + jnp.float32(shift * S16_FINE))
+                if y_clip is not None:
+                    val = jnp.clip(val, y_clip[0] * inv + jnp.float32(shift * S16_FINE),
+                                   y_clip[1] * inv + jnp.float32(shift * S16_FINE))
+                return clip_s16_checked(jnp.round(val))
+            val = y * inv + (self.bias_f.get_value() * inv + jnp.float32(shift))
+            if y_clip is not None:
+                val = jnp.clip(val, y_clip[0] * inv + jnp.float32(shift),
+                               y_clip[1] * inv + jnp.float32(shift))
+            return val
         y = y + self.bias_f.get_value()
+        if y_clip is not None:
+            y = jnp.clip(y, y_clip[0], y_clip[1])
         if relu:
             y = jnp.maximum(y, 0.0)
         return y
@@ -236,6 +260,15 @@ class IntConv2d(nnx.Module):
         if _SHAPE_RECORDER is not None:
             _SHAPE_RECORDER[id(self)] = tuple(x_q.shape)
         alpha, beta = self.alpha.get_value(), self.beta.get_value()
+        # pre-relu clamp bounds (RangeBN observer fold — see __init__):
+        # *_raw is in the epilogue's natural y-domain (what _run_bf16 takes);
+        # *_adj rides any prescale fold applied to alpha/beta below (what
+        # int8_conv_xla takes, since its alpha/beta args arrive pre-folded)
+        y_clip_raw = None
+        if self.y_clip is not None:
+            yc = self.y_clip.get_value()
+            y_clip_raw = (yc[0], yc[1])
+        y_clip_adj = y_clip_raw
         round_s16 = False
         if out_prescale is not None:
             assert out_requant is None and not relu, "prescale excludes requant/relu"
@@ -249,14 +282,26 @@ class IntConv2d(nnx.Module):
                 round_s16 = True
             alpha = alpha * inv
             beta = beta * inv + jnp.float32(shift)
-        split = self.backend.endswith("-split") and out_requant is not None
+            if y_clip_raw is not None:
+                y_clip_adj = (y_clip_raw[0] * inv + jnp.float32(shift),
+                              y_clip_raw[1] * inv + jnp.float32(shift))
+        backend = self.backend
+        if y_clip_raw is not None and (
+            backend.startswith("s4") or backend in ("pallas", "gemm")
+        ):
+            # those kernels' fused epilogues don't carry the clamp — the xla
+            # path is the semantics-complete fallback (the clamp only exists
+            # on RangeBN-flavor models, whose autotuned winners are the
+            # xla/bf16 forms anyway)
+            backend = "xla-split" if backend.endswith("-split") else "xla"
+        split = backend.endswith("-split") and out_requant is not None
         if split:
             # run the conv with a plain f32 epilogue, then requantize in a
             # separate pass (see class docstring for why this can be faster)
             out_scale, out_zp = out_requant
-            if self.backend == "bf16-split":
-                y = self._run_bf16(x_q, relu, None, None)
-            elif self.backend == "s4-split":
+            if backend == "bf16-split":
+                y = self._run_bf16(x_q, relu, None, None, y_clip=y_clip_raw)
+            elif backend == "s4-split":
                 from quantized_tpu.ops.int4 import int4_conv_s4
 
                 y = int4_conv_s4(
@@ -266,12 +311,13 @@ class IntConv2d(nnx.Module):
             else:
                 y = int8_conv_xla(
                     x_q, self.weights(), alpha, beta, self.stride, self.padding,
-                    self.stored_zp, relu=relu, groups=self.groups,
+                    self.stored_zp, relu=relu, groups=self.groups, y_clip=y_clip_adj,
                 )
             return quantize_input_stored(y, out_scale, out_zp)
-        if self.backend.startswith("bf16"):
-            return self._run_bf16(x_q, relu, out_requant, out_prescale, round_s16)
-        if self.backend.startswith("s4"):
+        if backend.startswith("bf16"):
+            return self._run_bf16(x_q, relu, out_requant, out_prescale, round_s16,
+                                  y_clip=y_clip_raw)
+        if backend.startswith("s4"):
             # native-S4 two-half-conv on the packed bytes (halved weight HBM;
             # only valid for channel-packed int4 layers — autotuned against
             # the unpack-single-conv "xla" form, which wins where per-op
@@ -284,7 +330,7 @@ class IntConv2d(nnx.Module):
                 self.padding, self.stored_zp, relu=relu, groups=self.groups,
                 out_requant=out_requant,
             )
-        if self.backend == "pallas" and self.groups == 1:
+        if backend == "pallas" and self.groups == 1:
             from quantized_tpu.ops.int8_conv_pallas import int8_conv_direct
 
             return int8_conv_direct(
@@ -298,7 +344,7 @@ class IntConv2d(nnx.Module):
                 relu=relu,
                 out_requant=out_requant,
             )
-        if self.backend == "gemm" and self.groups == 1:
+        if backend == "gemm" and self.groups == 1:
             return int8_conv_gemm(
                 x_q,
                 self.weights(),
@@ -322,6 +368,7 @@ class IntConv2d(nnx.Module):
             groups=self.groups,
             out_requant=out_requant,
             round_s16=round_s16,
+            y_clip=y_clip_adj,
         )
 
 

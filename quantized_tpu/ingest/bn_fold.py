@@ -41,19 +41,18 @@ def fold_bn_into_conv(
     return w, b
 
 
-def fold_rangebn_into_conv(
-    kernel_hwio: np.ndarray,
-    bias: Optional[np.ndarray],
+def rangebn_fold_params(
     gamma: Optional[np.ndarray],
     beta: Optional[np.ndarray],
-    mean: np.ndarray,
     scale: np.ndarray,
     eps: float = 1e-5,
     num_bits: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Fold RangeBN (running_var == range-derived scale; gamma/beta 8-bit
-    fake-quantized exactly as the reference eval does) into HWIO conv weights."""
-    kernel_hwio = np.asarray(kernel_hwio, np.float32)
+    """(factor, qbeta) of the RangeBN eval affine ``y = factor*(z - mean) +
+    qbeta`` with the reference's own 8-bit quantization of the scale/gamma/
+    beta vectors — the single source of truth for every fold site AND for
+    the engine's pre-BN observer clamp (convert._rangebn_y_clip), which must
+    use bit-identical factors to the folded weights."""
     scale = np.asarray(scale, np.float32)
     # the reference eval quantizes the scale vector itself before normalizing
     qscale = np.asarray(
@@ -70,7 +69,23 @@ def fold_rangebn_into_conv(
         if beta is not None
         else np.zeros_like(scale)
     )
-    factor = qgamma / (qscale + eps)
+    return (qgamma / (qscale + eps)).astype(np.float32), qbeta.astype(np.float32)
+
+
+def fold_rangebn_into_conv(
+    kernel_hwio: np.ndarray,
+    bias: Optional[np.ndarray],
+    gamma: Optional[np.ndarray],
+    beta: Optional[np.ndarray],
+    mean: np.ndarray,
+    scale: np.ndarray,
+    eps: float = 1e-5,
+    num_bits: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold RangeBN (running_var == range-derived scale; gamma/beta 8-bit
+    fake-quantized exactly as the reference eval does) into HWIO conv weights."""
+    kernel_hwio = np.asarray(kernel_hwio, np.float32)
+    factor, qbeta = rangebn_fold_params(gamma, beta, scale, eps=eps, num_bits=num_bits)
     w = kernel_hwio * factor[None, None, None, :]
     b0 = np.zeros_like(factor) if bias is None else np.asarray(bias, np.float32)
     b = qbeta + (b0 - np.asarray(mean, np.float32)) * factor

@@ -112,9 +112,16 @@ def int8_conv_xla(
     out_requant: Optional[Tuple[float, int]] = None,
     groups: int = 1,
     round_s16: bool = False,
+    y_clip: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """XLA-native path: int8 conv with int32 accumulation + the same epilogue
-    (XLA fuses it). Also the reference implementation for Pallas-path tests."""
+    (XLA fuses it). Also the reference implementation for Pallas-path tests.
+
+    ``y_clip=(ylo, yhi)``: per-channel pre-relu clamp bounds on the
+    alpha/beta epilogue output (the folded RangeBN input-observer range clip,
+    convert._rangebn_y_clip; callers pre-scale the bounds when alpha/beta
+    arrive prescaled). In the fused-requant branch the clamp rides the
+    existing clip as per-channel integer bounds — zero extra passes."""
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     xp = pad_stored_zp(x_q, (ph, pw), stored_zp)
@@ -137,9 +144,16 @@ def int8_conv_xla(
         alpha2 = alpha * inv
         beta2 = beta * inv + jnp.float32(out_zp - 128)
         lo = jnp.float32(out_zp - 128 if relu else -128)
+        hi = jnp.float32(127.0)
+        if y_clip is not None:
+            zps = jnp.float32(out_zp - 128)
+            lo = jnp.maximum(lo, jnp.round(y_clip[0] * inv + zps))
+            hi = jnp.minimum(hi, jnp.round(y_clip[1] * inv + zps))
         q = jnp.round(acc.astype(jnp.float32) * alpha2 + beta2)
-        return jnp.clip(q, lo, 127.0).astype(jnp.int8)
+        return jnp.clip(q, lo, hi).astype(jnp.int8)
     y = acc.astype(jnp.float32) * alpha + beta
+    if y_clip is not None:
+        y = jnp.clip(y, y_clip[0], y_clip[1])
     if relu:
         y = jnp.maximum(y, 0.0)
     if round_s16:

@@ -321,6 +321,12 @@ def test_warm_start_skips_recompiles(tmp_path):
         jax.config.update("jax_compilation_cache_dir", str(tmp_path))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # the cache object is a lazily-initialized singleton: if an earlier
+        # test already touched the repo cache, the dir change above would
+        # silently not take effect without a reset
+        from jax.experimental.compilation_cache import compilation_cache as _cc
+
+        _cc.reset_cache()
 
         def bring_up():
             m = get_model("resnet_quantized_float_bn")(dataset="cifar10", depth=20,
@@ -335,6 +341,11 @@ def test_warm_start_skips_recompiles(tmp_path):
             fwd = jax.jit(lambda s, x: nnx.merge(graphdef, s)(x))
             return np.asarray(fwd(state, jnp.zeros((4, 32, 32, 3), jnp.float32)))
 
+        # drop every in-memory executable BEFORE the first bring-up: aux
+        # computations compiled by earlier tests (pre-dir-switch) would
+        # otherwise skip run 1, never land in the tmp cache, and read as
+        # spurious misses in run 2
+        jax.clear_caches()
         out1 = bring_up()
         files1 = sum(len(fs) for _, _, fs in _os.walk(tmp_path))
         assert files1 > 0, "first bring-up wrote nothing to the persistent cache"
@@ -352,3 +363,69 @@ def test_warm_start_skips_recompiles(tmp_path):
     finally:
         active[0] = False
         jax.config.update("jax_compilation_cache_dir", prev_dir)
+        from jax.experimental.compilation_cache import compilation_cache as _cc
+
+        _cc.reset_cache()  # re-point the singleton at the restored dir
+
+
+def test_rangebn_observer_clamp_in_folded_engines():
+    """Round-5 fix: folding RangeBN into the conv must PRESERVE the RangeBN
+    input observer's range clip (a saturating nonlinearity the QAT network
+    trains against — dropping it cost 17 top-1 pt on the trained flagship:
+    91.02 -> 73.44, clip-only ablation recovered 90.62, measured 2026-08-21).
+    Regression form: narrow the observers so the clip BINDS hard on random
+    inputs, then the folded engines must track fake-quant; the same engines
+    with the clamp stripped must diverge (guards against the clamp silently
+    becoming a no-op)."""
+    from quantized_tpu.engine import build_int8_resident
+    from quantized_tpu.models import layers as L
+
+    rng = np.random.default_rng(7)
+
+    def calibrated():
+        m = get_model("resnet_quantized")(dataset="cifar10", depth=20, rngs=nnx.Rngs(0))
+        m.train()
+        calib = nnx.jit(lambda mm, v: mm(v))
+        for i in range(3):
+            calib(m, jnp.asarray(rng.standard_normal((16, 32, 32, 3)), jnp.float32))
+        m.eval()
+        # narrow every RangeBN input observer to 40% of its calibrated range:
+        # the clip now binds on a large fraction of activations (the trained-
+        # checkpoint regime, where the net saturates its observers)
+        for _, node in nnx.iter_graph(m):
+            if isinstance(node, L.RangeBN):
+                o = node.quantize_input
+                o.running_min.set_value(o.running_min.get_value() * 0.4)
+                o.running_max.set_value(o.running_max.get_value() * 0.4)
+        return m
+
+    x = jnp.asarray(rng.standard_normal((32, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(calibrated()(x))
+    ref_top1 = ref.argmax(-1)
+
+    from quantized_tpu.engine import convert_to_int
+
+    exact = convert_to_int(calibrated(), weight_bits=8)
+    # the clamp must actually be wired
+    clips = [m.y_clip for _, m in nnx.iter_modules(exact)
+             if hasattr(m, "y_clip") and m.y_clip is not None]
+    assert clips, "no IntConv2d carries the RangeBN observer clamp"
+    got = np.asarray(exact(x))
+    agree = (got.argmax(-1) == ref_top1).mean()
+    assert agree >= 0.9, agree
+
+    resident = build_int8_resident(calibrated())
+    got_res = np.asarray(resident(x))
+    agree_res = (got_res.argmax(-1) == ref_top1).mean()
+    assert agree_res >= 0.9, agree_res
+
+    # strip the clamp: the engines must now diverge from fake-quant (the
+    # narrowed clip binds) — proves the clamp is load-bearing, not vestigial
+    stripped = convert_to_int(calibrated(), weight_bits=8)
+    for _, m in nnx.iter_modules(stripped):
+        if hasattr(m, "y_clip"):
+            m.y_clip = None
+    got_strip = np.asarray(stripped(x))
+    rel = np.linalg.norm(got_strip - ref) / (np.linalg.norm(ref) + 1e-9)
+    rel_clamped = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel > 2 * rel_clamped, (rel, rel_clamped)

@@ -56,8 +56,10 @@ def main():
     from __graft_entry__ import _calibrated_model
     from quantized_tpu.engine import apply_cached_backends, build_int8_resident
     from quantized_tpu.engine.batching import ContinuousBatcher
+    from quantized_tpu.engine.executor import enable_compilation_cache
     from quantized_tpu.utils.hostbuild import host_build, put_model
 
+    enable_compilation_cache()
     with host_build():
         model = build_int8_resident(
             _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50)
@@ -89,6 +91,12 @@ def main():
             return jfwd(state, staged[self.i % STAGE_POOL])
 
     img = rng.integers(0, 256, (224, 224, 3)).astype(np.uint8)
+    # BLOCKING warmup: jax dispatch is async, so compile+first-exec must be
+    # forced to completion (value fetch) before any timed window opens —
+    # otherwise a cold tunnel eats the capacity windows silently
+    t0 = time.perf_counter()
+    np.asarray(jfwd(state, staged[0]))
+    print(f"first exec (compile+fetch): {time.perf_counter()-t0:.1f}s", flush=True)
 
     def make_batcher(request_timeout_s=None, max_queue=200_000):
         return ContinuousBatcher(
@@ -122,14 +130,20 @@ def main():
 
     th = threading.Thread(target=feeder, daemon=True)
     th.start()
-    time.sleep(2.0)
-    n0, t0 = done[0], time.perf_counter()
-    time.sleep(5.0)
-    n1, t1 = done[0], time.perf_counter()
+    capacity = 0.0
+    for attempt in range(4):  # ride out a cold/wedged tunnel start
+        time.sleep(2.0)
+        n0, t0 = done[0], time.perf_counter()
+        time.sleep(5.0)
+        n1, t1 = done[0], time.perf_counter()
+        capacity = (n1 - n0) / (t1 - t0)
+        if capacity > 0:
+            break
+        print(f"  (capacity window {attempt} saw no completions — retrying)", flush=True)
     stop_flag.set()
     b.stop()
     th.join(timeout=10)
-    capacity = (n1 - n0) / (t1 - t0)
+    assert capacity > 0, "no completions in any capacity window — executor wedged"
     print(f"closed-loop capacity (bucket {BUCKET}, depth 4): {capacity:,.0f} req/s",
           flush=True)
 
@@ -205,30 +219,59 @@ def main():
 
     print(f"\nopen-loop sweep (measure {MEASURE_SECS:.0f}s/point, no SLA):", flush=True)
     rows = []
-    for rho in LOADS:
+
+    def sweep_point(rho):
         r = run_point(rho * capacity, MEASURE_SECS)
         rows.append((rho, r))
         print(f"  load {rho:4.0%} ({r['offered']:7,.0f} req/s): goodput {r['goodput']:7,.0f}"
               f"  p50 {r['p50']:7.1f} ms  p95 {r['p95']:7.1f}  p99 {r['p99']:8.1f}"
               f"  backlog {r['backlog']:6d}  occ {r['occupancy']:.2f}", flush=True)
+        return r
 
-    # knee: first load where p99 exceeds 3x the 50%-load p99
+    for rho in LOADS:
+        sweep_point(rho)
+    # the closed-loop feeder can under-estimate true capacity (it measures
+    # feeder+batcher in series); ESCALATE until goodput actually saturates
+    # (goodput < 92% of offered, or the backlog grows) so the knee is real
+    rho = LOADS[-1]
+    while rho < 3.0:
+        r = rows[-1][1]
+        if r["goodput"] < 0.92 * r["offered"] or r["backlog"] > 0.5 * r["offered"]:
+            break
+        rho = round(rho + 0.2, 1)
+        sweep_point(rho)
+
+    sat = max(r["goodput"] for _, r in rows)
     p99_ref = next(r["p99"] for rho, r in rows if rho == 0.5)
-    knee = next((rho for rho, r in rows if r["p99"] > 3 * p99_ref), None)
-    print(f"knee (first p99 > 3x the 50%-load p99 of {p99_ref:.1f} ms): "
-          f"{knee:.0%} of capacity" if knee else "knee: none within sweep", flush=True)
+    knee = next((rho for rho, r in rows
+                 if r["p99"] > 3 * p99_ref or r["goodput"] < 0.92 * r["offered"]), None)
+    print(f"saturation goodput: {sat:,.0f} req/s "
+          f"({sat/capacity:.2f}x the closed-loop estimate)", flush=True)
+    print((f"knee (p99 > 3x 50%-load p99 of {p99_ref:.1f} ms, or goodput < 92% "
+           f"of offered): {knee:.0%} of closed-loop capacity") if knee
+          else "knee: none within sweep", flush=True)
 
-    # ---- overload WITH the SLA: shedding must hold goodput near capacity ----
-    print(f"\noverload arm at 120% WITH request_timeout_s={SLA_S}s:", flush=True)
-    r = run_point(1.2 * capacity, MEASURE_SECS, request_timeout_s=SLA_S)
+    # ---- overload WITH the SLA: shedding must hold goodput near saturation ----
+    over = 1.2 * sat
+    print(f"\noverload arm at {over:,.0f} req/s (120% of saturation) "
+          f"WITH request_timeout_s={SLA_S}s:", flush=True)
+    r = run_point(over, MEASURE_SECS, request_timeout_s=SLA_S)
     shed_rate = r["timed_out"] / max(r["submitted"], 1)
-    print(f"  goodput {r['goodput']:7,.0f} req/s ({r['goodput']/capacity:.1%} of capacity)"
+    print(f"  goodput {r['goodput']:7,.0f} req/s ({r['goodput']/sat:.1%} of saturation)"
           f"  shed {r['timed_out']} ({shed_rate:.1%} of submitted)"
           f"  p50 {r['p50']:6.1f} ms  p99 {r['p99']:6.1f} ms"
           f"  backlog {r['backlog']}", flush=True)
-    print(f"  served-request p99 bounded by deadline: "
-          f"{r['p99'] <= SLA_S * 1e3 * 1.5} (p99 {r['p99']:.1f} ms vs SLA {SLA_S*1e3:.0f} ms)",
-          flush=True)
+    # the deadline bounds QUEUE wait only (checked at drain; in-flight
+    # batches always complete — batching.py semantics). What rides on top of
+    # it in the served p99 is post-drain pipeline residence: assembly, the
+    # bounded dispatch queue (2), in-flight depth (4), and the resolve lag
+    # (a full pipeline resolves batch k only as k+depth-1 dispatches).
+    svc_ms = BUCKET / max(r["goodput"], 1) * 1e3
+    print(f"  served-request p99 decomposition: {r['p99']:.1f} ms total = "
+          f"{SLA_S*1e3:.0f} ms deadline-bounded queue wait + "
+          f"{r['p99'] - SLA_S*1e3:.1f} ms post-drain pipeline residence "
+          f"(~{(r['p99'] - SLA_S*1e3)/svc_ms:.0f} batch times at "
+          f"{svc_ms:.1f} ms/batch; structural floor ~7-10)", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -160,6 +161,8 @@ class ContinuousBatcher:
             else None
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue(max_queue)
+        self._shed_q: "deque" = deque()
+        self._shed_thread: Optional[threading.Thread] = None
         self._rid = 0
         self._rid_lock = threading.Lock()
         self._stop = threading.Event()
@@ -197,6 +200,17 @@ class ContinuousBatcher:
             except queue.Empty:
                 break
             self._complete(r.future, exc=RuntimeError("batcher stopped"))
+        # drain any shed completions the shedder thread has not delivered yet
+        if self._shed_thread is not None:
+            self._shed_thread.join(timeout=10)
+        while True:
+            try:
+                r, waited = self._shed_q.popleft()
+            except IndexError:
+                break
+            self._complete(r.future, exc=TimeoutError(
+                f"request {r.rid} queued {waited:.3f}s > "
+                f"request_timeout_s={self.request_timeout_s}"))
         if self.request_log is not None:
             self.request_log.close()
 
@@ -225,14 +239,38 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- scheduler
     def _expired(self, r: _Request, now: float) -> bool:
         """SLA check at drain time: fail a request that outlived its deadline
-        in the queue (in-flight batches always complete)."""
+        in the queue (in-flight batches always complete).
+
+        The TimeoutError delivery is handed to a dedicated shedder thread:
+        completing a future (set_exception + client callbacks) costs tens of
+        microseconds of Python, and at heavy overload the drain discards
+        thousands of expired requests per batch — done inline that starved
+        the dispatch path into a livelock (measured: goodput collapsed to
+        ~6% of capacity at 1.2x offered load; off-thread shedding holds it
+        near capacity — bench/serving_openloop.py)."""
         if self.request_timeout_s is None or now - r.t_submit <= self.request_timeout_s:
             return False
-        self._complete(r.future, exc=TimeoutError(
-            f"request {r.rid} queued {now - r.t_submit:.3f}s > "
-            f"request_timeout_s={self.request_timeout_s}"))
         self.requests_timed_out += 1
+        self._shed_q.append((r, now - r.t_submit))
+        if self._shed_thread is None or not self._shed_thread.is_alive():
+            self._shed_thread = threading.Thread(
+                target=self._shed_loop, daemon=True, name="qtpu-shed")
+            self._shed_thread.start()
         return True
+
+    def _shed_loop(self):
+        """Deliver TimeoutErrors for shed requests off the scheduler thread."""
+        while True:
+            try:
+                r, waited = self._shed_q.popleft()
+            except IndexError:
+                if self._stop.is_set():
+                    return
+                time.sleep(0.002)
+                continue
+            self._complete(r.future, exc=TimeoutError(
+                f"request {r.rid} queued {waited:.3f}s > "
+                f"request_timeout_s={self.request_timeout_s}"))
 
     def _drain(self, limit: int) -> List[_Request]:
         out: List[_Request] = []

@@ -51,22 +51,31 @@ def child(mode: str, ckpt_dir: str, buckets: str) -> None:
 
     from quantized_tpu.models import get_model
     from quantized_tpu.utils.checkpoint import load_checkpoint
+    from quantized_tpu.utils.hostbuild import host_build, put_model
 
     bks = [int(b) for b in buckets.split(",")]
     stages = {}
 
+    # the CLI's serving bring-up path (round 5): construct + restore +
+    # convert entirely host-side, push the finished engine once
     t0 = time.perf_counter()
-    model = get_model("resnet_quantized_float_bn")(dataset="imagenet", depth=50,
-                                                   rngs=nnx.Rngs(0))
-    load_checkpoint(model, ckpt_dir)
-    model.eval()
+    with host_build():
+        model = get_model("resnet_quantized_float_bn")(dataset="imagenet", depth=50,
+                                                       rngs=nnx.Rngs(0))
+        load_checkpoint(model, ckpt_dir)
+        model.eval()
     stages["load_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     from quantized_tpu.engine import apply_cached_backends, build_int8_resident
 
-    eng = build_int8_resident(model)
+    with host_build():
+        eng = build_int8_resident(model)
     stages["build_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    put_model(eng)
+    stages["push_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     apply_cached_backends(eng, jnp.zeros((bks[-1], 224, 224, 3), jnp.float32))
@@ -124,6 +133,7 @@ def main() -> None:
             print(f"  (warm cache populated: steady {r['steady_state_s']:.1f}s)", flush=True)
             continue
         print(f"{arm:>5}: load {r['load_s']:.2f}s  build {r['build_s']:.2f}s  "
+              f"push {r.get('push_s', 0):.2f}s  "
               f"backends {r['backends_s']:.2f}s  compiles {r['compile_per_bucket_s']}  "
               f"first-pred {r['time_to_first_prediction_s']:.2f}s  "
               f"steady {r['steady_state_s']:.2f}s", flush=True)

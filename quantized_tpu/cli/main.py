@@ -148,7 +148,15 @@ def main(argv=None):
         model_config.update(ast.literal_eval(args.model_config))
     if args.model in ("alexnet", "alexnet_quantized", "mnist", "mobilenet", "mobilenet_quantized"):
         model_config.pop("dataset", None)
-    model = get_model(args.model)(rngs=nnx.Rngs(args.seed), **model_config)
+    from quantized_tpu.utils.hostbuild import host_build, put_model
+
+    # construct on the host CPU backend: weight init + checkpoint restore
+    # never cross the accelerator boundary (arrays stay uncommitted, so the
+    # first jitted step ships them in one batch) — measured 42 s -> ~2 s of
+    # ResNet-50 cold-start load in the tunneled sandbox (bench/coldstart.py),
+    # and the right shape for real pods (construct on host, ship once)
+    with host_build():
+        model = get_model(args.model)(rngs=nnx.Rngs(args.seed), **model_config)
     logger.info("created model %s with config %s", args.model, model_config)
 
     regime = getattr(model, "regime", None)
@@ -219,12 +227,21 @@ def main(argv=None):
                 build_int8_resident,
             )
 
-            if "alexnet" in args.model:
-                model = build_int8_alexnet(model, weight_bits=args.weight_bits, backend=args.backend)
-            elif "mobilenet" in args.model:
-                model = build_int8_mobilenet(model, weight_bits=args.weight_bits, backend=args.backend)
-            else:
-                model = build_int8_resident(model, weight_bits=args.weight_bits, backend=args.backend)
+            # convert host-side (weights may still be CPU-resident from the
+            # host_build construction; deriving scales/epilogues reads every
+            # weight, which through a tunnel is the cold-start bottleneck)
+            with host_build():
+                if "alexnet" in args.model:
+                    model = build_int8_alexnet(model, weight_bits=args.weight_bits, backend=args.backend)
+                elif "mobilenet" in args.model:
+                    model = build_int8_mobilenet(model, weight_bits=args.weight_bits, backend=args.backend)
+                else:
+                    model = build_int8_resident(model, weight_bits=args.weight_bits, backend=args.backend)
+            if mesh is None:
+                put_model(model)  # one batched H2D push of the finished engine
+            # with a mesh, leave arrays uncommitted: the TP/GSPMD sharding
+            # below places them per-spec (a committed single-device push
+            # would conflict with the mesh placement)
             trainer.model = model
             if args.autotune:
                 import jax.numpy as jnp
@@ -239,8 +256,11 @@ def main(argv=None):
         else:
             from quantized_tpu.engine import convert_to_int
 
-            convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend,
-                           weight_quant=args.weight_quant)
+            with host_build():
+                convert_to_int(model, weight_bits=args.weight_bits, backend=args.backend,
+                               weight_quant=args.weight_quant)
+            if mesh is None:
+                put_model(model)
             logger.info("converted to int%d execution (backend=%s, weight_quant=%s)",
                         args.weight_bits, args.backend, args.weight_quant)
         if args.tp_explicit:

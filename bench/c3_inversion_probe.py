@@ -49,7 +49,7 @@ def main():
             _calibrated_model("resnet_quantized_float_bn", dataset="imagenet", depth=50))
         apply_cached_backends(res, jnp.zeros((B, 224, 224, 3), jnp.float32))
     put_model(res)
-    conv = res.layer4.__getattr__("1").conv3  # production c3, tuned weights
+    conv = getattr(res.layer4, "1").conv3  # production c3, tuned weights
     rng = np.random.default_rng(0)
     x_q = jnp.asarray(rng.integers(-128, 128, (B, H, H, CIN)), jnp.int8)
     requant = (0.05, 128)

@@ -196,6 +196,13 @@ def main():
               f"{frac_floor:5.1%} of dispatch floor  "
               f"p50 {st['latency_p50_ms']:6.1f} ms  p95 {st['latency_p95_ms']:6.1f} ms  "
               f"occupancy {st['occupancy']:.2f}", flush=True)
+        if "stage_drain_ms" in st:
+            per_batch = b / rate * 1e3
+            print(f"           per-batch stage means: drain {st['stage_drain_ms']:.2f} "
+                  f"assemble {st['stage_assemble_ms']:.2f} dispatch {st['stage_dispatch_ms']:.2f} "
+                  f"resolve {st['stage_resolve_ms']:.2f} ms  (batch period {per_batch:.2f} ms; "
+                  f"assembler-thread load = drain+assemble, dispatcher = dispatch+resolve)",
+                  flush=True)
 
     best = max(rows, key=lambda r: r[1])
     print(f"\nbest: bucket {best[0]} at {best[1]:,.0f} req/s = {best[2]:.1%} of "

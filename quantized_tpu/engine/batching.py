@@ -172,6 +172,12 @@ class ContinuousBatcher:
         self.requests_done = 0
         self.padded_slots = 0
         self.steps = 0
+        # per-stage host-cost accounting (seconds, cumulative over batches):
+        # drain (queue wait incl. max_wait), assemble (pad memcpy), dispatch
+        # (executor call + async copy start), resolve (forced result fetch).
+        # Two perf_counter calls per batch per stage — negligible; stats()
+        # reports per-batch means so capacity gaps are attributable.
+        self.stage_s = {"drain": 0.0, "assemble": 0.0, "dispatch": 0.0, "resolve": 0.0}
 
     # ------------------------------------------------------------- lifecycle
     def start(self):
@@ -272,10 +278,33 @@ class ContinuousBatcher:
                 f"request {r.rid} queued {waited:.3f}s > "
                 f"request_timeout_s={self.request_timeout_s}"))
 
+    def _drain_batch(self, limit: int) -> List[_Request]:
+        """Pop up to ``limit`` queued requests under ONE mutex acquisition.
+
+        The per-item ``queue.get`` path costs ~56 us/request of lock/GIL
+        churn (measured: drain was 7.2 of the 9.7 ms batch period at bucket
+        128 — the saturated assembler stage, bench/serving_capacity.py).
+        Batch-popping on the Queue's own mutex/deque amortizes that to one
+        acquisition per batch while preserving every external Queue
+        semantic (blocking put with maxsize, get timeouts, stop drain)."""
+        q = self._queue
+        with q.mutex:
+            n = min(limit, len(q.queue))
+            items = [q.queue.popleft() for _ in range(n)]
+            if n:
+                q.not_full.notify(n)
+        return items
+
     def _drain(self, limit: int) -> List[_Request]:
         out: List[_Request] = []
         deadline = time.perf_counter() + self.max_wait_s
         while len(out) < limit:
+            got = self._drain_batch(limit - len(out))
+            if got:
+                now = time.perf_counter()
+                out.extend(r for r in got if not self._expired(r, now))
+                continue
+            # queue momentarily empty: block for the first arrival / deadline
             timeout = deadline - time.perf_counter()
             try:
                 r = self._queue.get(timeout=max(timeout, 0.0005) if out else 0.05)
@@ -311,6 +340,7 @@ class ContinuousBatcher:
         """Force one in-flight batch's results and complete its futures.
         With async dispatch, device/transfer errors surface HERE, not at the
         executor call — fail just this batch's requests."""
+        t0 = time.perf_counter()
         reqs, bucket, out = entry
         try:
             logits = np.asarray(out)
@@ -325,6 +355,7 @@ class ContinuousBatcher:
         self.batches_run += 1
         self.requests_done += len(reqs)
         self.padded_slots += bucket - len(reqs)
+        self.stage_s["resolve"] += time.perf_counter() - t0
 
     def _assemble(self, reqs: List[_Request], bucket: int) -> np.ndarray:
         """Pad ``reqs`` into a ``bucket``-row batch. ``np.zeros`` is calloc —
@@ -332,6 +363,7 @@ class ContinuousBatcher:
         rows fault in. Large buckets split the row memcpys over the pad pool
         (numpy array copies release the GIL), cutting the one host-side cost
         the capacity bench could not hide (2.8 ms alone at bucket 128)."""
+        t0 = time.perf_counter()
         batch = np.zeros((bucket, *self.input_shape), self.dtype)
         n = len(reqs)
         if self._pad_pool is not None and n >= 8 * self.pad_workers:
@@ -352,11 +384,13 @@ class ContinuousBatcher:
         else:
             for i, r in enumerate(reqs):
                 batch[i] = r.image
+        self.stage_s["assemble"] += time.perf_counter() - t0
         return batch
 
     def _dispatch(self, reqs: List[_Request], batch: np.ndarray):
         """Execute one padded batch; returns the in-flight entry or None on
         executor failure (those requests are failed here)."""
+        t0 = time.perf_counter()
         try:
             out = self.executor(batch)
             # start the D2H result copy NOW (JAX async dispatch): by the
@@ -371,6 +405,7 @@ class ContinuousBatcher:
             for r in reqs:
                 self._complete(r.future, exc=e)
             return None
+        self.stage_s["dispatch"] += time.perf_counter() - t0
         return (reqs, len(batch), out)
 
     def _loop(self):
@@ -378,9 +413,11 @@ class ContinuousBatcher:
             return self._loop_pipelined()
         # depth 1: dispatch-resolve-dispatch, minimal latency for sparse traffic
         while not self._stop.is_set() or not self._queue.empty():
+            t0 = time.perf_counter()
             reqs = self._drain(self.batch_sizes[-1])
             if not reqs:
                 continue
+            self.stage_s["drain"] += time.perf_counter() - t0
             self.steps += 1
             entry = self._dispatch(reqs, self._assemble(reqs, self._pick_bucket(len(reqs))))
             if entry is not None:
@@ -420,9 +457,11 @@ class ContinuousBatcher:
         disp.start()
         try:
             while not self._stop.is_set() or not self._queue.empty():
+                t0 = time.perf_counter()
                 reqs = self._drain(self.batch_sizes[-1])
                 if not reqs:
                     continue
+                self.stage_s["drain"] += time.perf_counter() - t0
                 self.steps += 1
                 dq.put((reqs, self._assemble(reqs, self._pick_bucket(len(reqs)))))
         finally:
@@ -433,6 +472,7 @@ class ContinuousBatcher:
     def stats(self) -> Dict[str, float]:
         lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
         total = self.requests_done + self.padded_slots
+        nb = max(self.batches_run, 1)
         return {
             "requests": self.requests_done,
             "batches": self.batches_run,
@@ -441,4 +481,6 @@ class ContinuousBatcher:
             "latency_p50_ms": float(np.percentile(lat, 50)),
             "latency_p95_ms": float(np.percentile(lat, 95)),
             "latency_p99_ms": float(np.percentile(lat, 99)),
+            # per-batch host-side stage means (ms): where scheduler time goes
+            **{f"stage_{k}_ms": v * 1e3 / nb for k, v in self.stage_s.items()},
         }

@@ -297,10 +297,16 @@ class IntConv2d(nnx.Module):
         split = backend.endswith("-split") and out_requant is not None
         if split:
             # run the conv with a plain f32 epilogue, then requantize in a
-            # separate pass (see class docstring for why this can be faster)
+            # separate pass (see class docstring for why this can be faster).
+            # RangeBN clamp placement matters here: clipping inside the conv's
+            # f32 epilogue disturbs XLA's conv-output fusion (measured +4.7%
+            # whole-net); applying the SAME bounds as per-channel integer
+            # limits on the separate requant pass's existing clip is free —
+            # clip commutes with the monotone round(y/s + zp) map to within
+            # one output step (inside the engine's <=1-step contract).
             out_scale, out_zp = out_requant
             if backend == "bf16-split":
-                y = self._run_bf16(x_q, relu, None, None, y_clip=y_clip_raw)
+                y = self._run_bf16(x_q, relu, None, None)
             elif backend == "s4-split":
                 from quantized_tpu.ops.int4 import int4_conv_s4
 
@@ -311,8 +317,12 @@ class IntConv2d(nnx.Module):
             else:
                 y = int8_conv_xla(
                     x_q, self.weights(), alpha, beta, self.stride, self.padding,
-                    self.stored_zp, relu=relu, groups=self.groups, y_clip=y_clip_adj,
+                    self.stored_zp, relu=relu, groups=self.groups,
                 )
+            if y_clip_raw is not None:
+                # f32 clamp right before the (unchanged) quantize pattern —
+                # XLA fuses both into the one requant pass
+                y = jnp.clip(y, y_clip_raw[0], y_clip_raw[1])
             return quantize_input_stored(y, out_scale, out_zp)
         if backend.startswith("bf16"):
             return self._run_bf16(x_q, relu, out_requant, out_prescale, round_s16,

@@ -261,6 +261,9 @@ def test_continuous_batcher_correct_and_padded():
     assert s["batches"] >= 2  # 23 requests cannot fit one 16-bucket
     assert 0 < s["occupancy"] <= 1.0
     assert s["latency_p50_ms"] > 0
+    # per-stage host-cost accounting (round 5): every stage accumulated
+    for k in ("drain", "assemble", "dispatch", "resolve"):
+        assert s[f"stage_{k}_ms"] >= 0, s
 
 
 def test_pipelined_batcher_correct_under_burst_and_lull():
